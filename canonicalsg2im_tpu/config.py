@@ -1,0 +1,230 @@
+"""Typed configuration for the framework.
+
+Flag names mirror the reference's single argparse parser
+(`/root/reference/scripts/args.py:13-212`) so users of the reference can port
+command lines verbatim; ``to_cli_parser`` materializes an argparse parser from
+the dataclass, and ``run_args.json`` round-trips through ``save``/``load`` the
+same way the reference persists and re-hydrates its config
+(scripts/train.py:291, scripts/layout_generation.py:87).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+
+def _tuple2(s) -> Tuple[int, int]:
+    if isinstance(s, (tuple, list)):
+        return tuple(int(x) for x in s)  # type: ignore[return-value]
+    return tuple(int(i) for i in s.split(","))  # type: ignore[return-value]
+
+
+@dataclass
+class Config:
+    # dataset selection
+    dataset: str = "packed_clevr_syn"
+    dataroot: str = "./datasets"
+    batch_size: int = 4
+    num_iterations: int = 1_000_000
+    image_size: Tuple[int, int] = (256, 256)
+    num_train_samples: Optional[int] = None
+    num_val_samples: Optional[int] = 1024
+    shuffle_val: bool = True
+    loader_num_workers: int = 1
+    include_relationships: bool = True
+    min_objects: Optional[int] = None
+    max_objects: Optional[int] = None
+    max_objects_val: Optional[int] = None
+    min_object_size: float = 0.02
+    debug: bool = False
+
+    # VG-specific
+    vg_image_dir: str = "datasets/vg/images"
+    train_h5: str = "datasets/vg/train.h5"
+    val_h5: str = "datasets/vg/val.h5"
+    vocab_json: str = "datasets/vg/vocab.json"
+    max_objects_per_image: int = 10
+    vg_use_orphaned_objects: bool = True
+
+    # optimization
+    learning_rate: float = 1e-4
+    mask_learning_rate: float = 1e-5
+    img_learning_rate: float = 1e-4
+    canonical_learning_rate: float = 1e-2  # trans/converse param groups (train.py:321-323)
+    beta1: float = 0.5
+    beta2: float = 0.999
+
+    # SG->Layout model
+    mask_size: int = 0
+    embedding_dim: int = 32
+    gconv_dim: int = 128
+    g_mask_dim: int = 128 + 64
+    mask_noise_dim: int = 64
+    gconv_hidden_dim: int = 512
+    gconv_pooling: str = "avg"
+    gconv_num_layers: int = 5
+    mlp_normalization: str = "none"
+    layout_noise_dim: int = 32
+
+    # AttSPADE generator
+    ngf: int = 64
+    num_upsampling_layers: str = "normal"  # normal | more | most
+    norm_G: str = "spectralspadesyncbatch3x3"
+    aspect_ratio: float = 1.0
+    use_vae: bool = False
+    z_dim: int = 256
+    rep_size: int = 32
+    appearance_normalization: str = "batch"
+    a_activation: str = "leakyrelu-0.2"
+
+    # discriminators
+    num_D: int = 2
+    n_layers_D: int = 4
+    ndf: int = 64
+    norm_D: str = "spectralinstance"
+    gan_mode: str = "hinge"  # hinge | ls | original | w
+    gan_loss_type: str = "gan"  # gan | wgan | lsgan (object D)
+    d_normalization: str = "batch"
+    d_padding: str = "valid"
+    d_activation: str = "leakyrelu-0.2"
+    d_obj_arch: str = "C4-64-2,C4-128-2,C4-256-2"
+    crop_size: int = 32
+    ndf_mask: int = 64
+    num_D_mask: int = 1
+    norm_D_mask: str = "instance"
+    n_layers_D_mask: int = 2
+
+    # loss weights
+    no_ganFeat_loss: bool = False
+    no_vgg_loss: bool = False
+    lambda_feat: float = 10.0
+    lambda_vgg: float = 10.0
+    lambda_obj: float = 0.1
+    lambda_kld: float = 0.05
+    discriminator_img_loss_weight: float = 1.0
+    discriminator_obj_loss_weight: float = 0.1
+    discriminator_mask_loss_weight: float = 1.0
+    bbox_pred_loss_weight: float = 10.0
+    mask_pred_loss_weight: float = 0.0
+    ac_loss_weight: float = 0.1
+
+    # stage / feature toggles
+    skip_generation: bool = False
+    skip_graph_model: bool = False
+    use_img_disc: bool = False
+    use_transitivity: bool = False
+    use_converse: bool = False
+    use_all_relations: bool = False
+    include_dummies: bool = False
+    learned_transitivity: bool = False
+    learned_symmetry: bool = False
+    learned_converse: bool = False
+    learned_init: str = "uniform"  # uniform | 0 | -4 | 4
+    dense_scenes: bool = False
+    isTrain: bool = True
+
+    # output / checkpointing
+    output_dir: str = "output/run"
+    run_name: str = "debug"
+    print_every: int = 10
+    timing: bool = False
+    checkpoint_every: int = 10_000
+    full_test: int = 1_000_000
+    checkpoint_name: Optional[str] = None
+    checkpoint_gan_name: Optional[str] = None
+    checkpoint_graph_name: Optional[str] = None
+    restore_checkpoint: bool = False
+    img_deprocess: str = "decode_img"
+
+    # TPU execution
+    mesh_shape: Tuple[int, int] = (-1, 1)  # (data, model); -1 = all devices
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+    seed: int = 0
+    bucket_objects: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512, 1024)
+    bucket_triplets: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+    donate_state: bool = True
+    weights_dir: str = "weights"  # converted VGG19 / InceptionV3 arrays
+
+    # populated at runtime, not via CLI
+    vocab: Optional[dict] = None
+    semantic_nc: Optional[int] = None
+
+    # ------------------------------------------------------------------ utils
+    def finalize(self) -> "Config":
+        """Derive dependent fields once the vocab is known (args.py:215-238)."""
+        if self.vocab is not None:
+            self.semantic_nc = len(self.vocab["attributes"]) * self.embedding_dim
+        return self
+
+    @property
+    def num_predicates(self) -> int:
+        return len(self.vocab["pred_idx_to_name"])
+
+    @property
+    def num_attributes(self) -> int:
+        return len(self.vocab["attributes"])
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def save(self, path: str) -> None:
+        d = {k: v for k, v in dataclasses.asdict(self).items()}
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(d, f, indent=1, default=str)
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path) as f:
+            d = json.load(f)
+        return cls.from_dict(d)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        names = {f.name for f in dataclasses.fields(cls)}
+        kw: dict[str, Any] = {}
+        for k, v in d.items():
+            if k not in names:
+                continue
+            if k in ("image_size", "mesh_shape") and v is not None:
+                v = _tuple2(v)
+            if k in ("bucket_objects", "bucket_triplets") and v is not None:
+                v = tuple(int(x) for x in v)
+            kw[k] = v
+        return cls(**kw)
+
+
+def to_cli_parser(defaults: Config | None = None) -> argparse.ArgumentParser:
+    """Build an argparse parser whose flags mirror scripts/args.py."""
+    cfg = defaults or Config()
+    parser = argparse.ArgumentParser()
+    for f in dataclasses.fields(Config):
+        if f.name in ("vocab", "semantic_nc"):
+            continue
+        default = getattr(cfg, f.name)
+        name = "--" + f.name
+        if f.type in ("bool", bool) or isinstance(default, bool):
+            parser.add_argument(name, type=lambda s: s not in ("0", "False", "false"),
+                                default=default)
+        elif f.name in ("image_size", "mesh_shape"):
+            parser.add_argument(name, type=_tuple2, default=default)
+        elif f.name in ("bucket_objects", "bucket_triplets"):
+            parser.add_argument(name, type=lambda s: tuple(int(x) for x in s.split(",")),
+                                default=default)
+        elif isinstance(default, int):
+            parser.add_argument(name, type=int, default=default)
+        elif isinstance(default, float):
+            parser.add_argument(name, type=float, default=default)
+        else:
+            parser.add_argument(name, type=str, default=default)
+    return parser
+
+
+def parse_cli(argv=None) -> Config:
+    ns = to_cli_parser().parse_args(argv)
+    return Config.from_dict(vars(ns))

@@ -1,0 +1,173 @@
+"""Fixed-shape batching for XLA.
+
+The reference pads each batch to the *per-batch max* number of objects and
+triplets (`sg2im/data/base_dataset.py:164-241`), which under jit would force a
+recompile for nearly every batch. Here batches are padded up to a small ladder
+of bucket sizes so the whole run touches only a handful of compiled shapes
+(SURVEY.md §5.7). The padded-batch contract is otherwise identical to the
+reference collate output:
+
+  objs pad 0, boxes pad [-1,-1,-1,-1], triplets pad [0, __padding__, 0],
+  triplet_type pad 0 (`sg2im/data/packed_clevr_dialog.py:286-334`).
+
+Arrays are NumPy on the host; the trainer moves them to device. Images are
+NHWC (TPU-native), not the reference's NCHW.
+"""
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+from dataclasses import dataclass
+from typing import Iterator, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+
+class Batch(NamedTuple):
+    """Device-bound batch. Mirrors the reference batch tuple
+    (SURVEY.md §2.7) with images in NHWC."""
+
+    imgs: Optional[np.ndarray]        # (B, H, W, 3) float32 in [-1, 1], or None
+    objs: np.ndarray                  # (B, O, A) int32 attribute ids; dummy/pad rows are 0
+    boxes: np.ndarray                 # (B, O, 4) float32 xywh in [0,1]; pad rows -1
+    triplets: np.ndarray              # (B, T, 3) int32 [s, p, o]
+    conv_counts: np.ndarray           # (B, P, P+1) float32 converse draw tallies
+    triplet_type: np.ndarray          # (B, T) int32 edge-type tags
+    masks: Optional[np.ndarray]       # (B, O, M, M) float32 or None
+    image_ids: np.ndarray             # (B,) int64
+
+
+@dataclass
+class SceneGraphSample:
+    """One canonicalized scene, pre-padding."""
+
+    image: Optional[np.ndarray]       # (H, W, 3) float32 or None
+    objs: np.ndarray                  # (O, A) int
+    boxes: np.ndarray                 # (O, 4) float32 xywh
+    triplets: np.ndarray              # (T, 3) int
+    conv_counts: np.ndarray           # (P, P+1) float32
+    triplet_type: np.ndarray          # (T,) int
+    masks: Optional[np.ndarray]       # (O, M, M) or None
+    image_id: int
+
+
+def bucket_for(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"size {n} exceeds largest bucket {buckets[-1]}")
+
+
+def pad_batch(samples: Sequence[SceneGraphSample], padding_pred: int,
+              bucket_objects: Sequence[int], bucket_triplets: Sequence[int]) -> Batch:
+    B = len(samples)
+    O = bucket_for(max(s.objs.shape[0] for s in samples), bucket_objects)
+    T = bucket_for(max(max(s.triplets.shape[0], 1) for s in samples), bucket_triplets)
+    A = samples[0].objs.shape[1]
+    P1 = samples[0].conv_counts.shape[1]
+
+    objs = np.zeros((B, O, A), dtype=np.int32)
+    boxes = np.full((B, O, 4), -1.0, dtype=np.float32)
+    triplets = np.zeros((B, T, 3), dtype=np.int32)
+    triplets[:, :, 1] = padding_pred
+    triplet_type = np.zeros((B, T), dtype=np.int32)
+    conv_counts = np.zeros((B, P1 - 1, P1), dtype=np.float32)
+    image_ids = np.zeros((B,), dtype=np.int64)
+
+    has_img = samples[0].image is not None
+    has_masks = samples[0].masks is not None
+    imgs = (np.zeros((B,) + samples[0].image.shape, dtype=np.float32)
+            if has_img else None)
+    masks = (np.zeros((B, O) + samples[0].masks.shape[1:], dtype=np.float32)
+             if has_masks else None)
+
+    for i, s in enumerate(samples):
+        o, t = s.objs.shape[0], s.triplets.shape[0]
+        objs[i, :o] = s.objs
+        boxes[i, :o] = s.boxes
+        if t:
+            triplets[i, :t] = s.triplets
+            triplet_type[i, :t] = s.triplet_type
+        conv_counts[i] = s.conv_counts
+        image_ids[i] = s.image_id
+        if has_img:
+            imgs[i] = s.image
+        if has_masks:
+            masks[i, :o] = s.masks
+    return Batch(imgs, objs, boxes, triplets, conv_counts, triplet_type, masks,
+                 image_ids)
+
+
+class BucketedLoader:
+    """Minimal host data loader: shuffles, canonicalizes (inside the dataset's
+    __getitem__), pads to buckets, and optionally prefetches on a thread.
+
+    The trainer pushes updated converse weights here each step
+    (the model->dataset feedback loop of scripts/train.py:274-278,383-385);
+    they are applied before each sample is drawn.
+    """
+
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
+                 bucket_objects: Sequence[int] = (8, 16, 32, 64, 128, 256, 512, 1024),
+                 bucket_triplets: Sequence[int] = (16, 32, 64, 128, 256, 512, 1024,
+                                                   2048, 4096, 8192, 16384, 32768),
+                 seed: int = 0, drop_last: bool = True, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.bucket_objects = tuple(bucket_objects)
+        self.bucket_triplets = tuple(bucket_triplets)
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._lock = threading.Lock()
+        self._pending_weights: Optional[np.ndarray] = None
+
+    def set_converse_weights(self, weights: np.ndarray) -> None:
+        with self._lock:
+            self._pending_weights = np.asarray(weights)
+
+    def _apply_pending_weights(self) -> None:
+        with self._lock:
+            w, self._pending_weights = self._pending_weights, None
+        if w is not None and hasattr(self.dataset, "converse_candidates_weights"):
+            self.dataset.converse_candidates_weights = w
+
+    def _epoch_batches(self) -> Iterator[Batch]:
+        n = len(self.dataset)
+        order = self.rng.permutation(n) if self.shuffle else np.arange(n)
+        padding_pred = self.dataset.vocab["pred_name_to_idx"]["__padding__"]
+        for start in range(0, n, self.batch_size):
+            idx = order[start:start + self.batch_size]
+            if len(idx) < self.batch_size and self.drop_last:
+                return
+            self._apply_pending_weights()
+            samples = [self.dataset[int(i)] for i in idx]
+            yield pad_batch(samples, padding_pred,
+                            self.bucket_objects, self.bucket_triplets)
+
+    def __iter__(self) -> Iterator[Batch]:
+        if self.prefetch <= 0:
+            yield from self._epoch_batches()
+            return
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for b in self._epoch_batches():
+                    q.put(b)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            yield item
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)

@@ -1,0 +1,119 @@
+"""Canonicalization + bucketed batching contract tests."""
+import numpy as np
+
+from canonicalsg2im_tpu.config import Config
+from canonicalsg2im_tpu.data import BucketedLoader, get_dataset
+from canonicalsg2im_tpu.data.canonicalize import location_triplets
+from canonicalsg2im_tpu.data.synthetic_clevr import SyntheticClevrDataset
+from canonicalsg2im_tpu.data.vocab import build_clevr_vocab
+
+
+def _naive_location_triplets(boxes, centers, real_mask, vocab):
+    """Literal port of the reference's pairwise loop
+    (base_dataset.py:35-87) minus the per-relation minimal reduction."""
+    p2i = vocab["pred_name_to_idx"]
+    out = []
+    real = np.nonzero(real_mask)[0]
+    for s in real:
+        for o in real:
+            if s == o:
+                continue
+            sx0, sy0, sw, sh = boxes[s]
+            sx1, sy1 = sx0 + sw / 2, sy0 + sh / 2
+            ox0, oy0, ow, oh = boxes[o]
+            ox1, oy1 = ox0 + ow / 2, oy0 + oh / 2
+            d = centers[s] - centers[o]
+            if sx0 < ox0 and sx1 > ox1 and sy0 < oy0 and sy1 > oy1:
+                out.append([s, p2i["__surrounding__"], o])
+            elif sx0 > ox0 and sx1 < ox1 and sy0 > oy0 and sy1 < oy1:
+                out.append([s, p2i["__inside__"], o])
+            else:
+                if d[0] > 0:
+                    out.append([s, p2i["__right of__"], o])
+                elif d[0] < 0:
+                    out.append([s, p2i["__left of__"], o])
+                if d[1] > 0:
+                    out.append([s, p2i["__below__"], o])
+                elif d[1] < 0:
+                    out.append([s, p2i["__above__"], o])
+    return out
+
+
+def test_location_triplets_match_naive_prereduction():
+    from canonicalsg2im_tpu.graphs import triplets_to_minimal
+
+    vocab = build_clevr_vocab()
+    rng = np.random.default_rng(0)
+    n = 9
+    boxes = np.concatenate(
+        [rng.uniform(0, 0.8, (n, 2)), rng.uniform(0.05, 0.2, (n, 2))], axis=1
+    ).astype(np.float32)
+    centers = boxes[:, :2] + boxes[:, 2:] / 2
+    real = np.ones(n, dtype=bool)
+
+    got = location_triplets(boxes, centers, real, vocab)
+    naive = np.asarray(_naive_location_triplets(boxes, centers, real, vocab))
+
+    # per relation, the vectorized result equals minimal(naive)
+    got_arr = np.asarray(got)
+    for p in set(naive[:, 1]):
+        naive_p = naive[naive[:, 1] == p]
+        want = np.asarray(triplets_to_minimal(naive_p))
+        have = got_arr[got_arr[:, 1] == p]
+        want_set = {tuple(t) for t in want.tolist()}
+        have_set = {tuple(t) for t in have.tolist()}
+        assert want_set == have_set, f"relation {p}"
+
+
+def test_synthetic_dataset_sample_contract():
+    ds = SyntheticClevrDataset(num_samples=8, min_objects=3, max_objects=6,
+                               learned_converse=True, learned_transitivity=True,
+                               include_dummies=True, seed=7)
+    s = ds[0]
+    O = s.objs.shape[0]
+    assert s.objs.shape[1] == 4
+    assert s.boxes.shape == (O, 4)
+    assert s.triplets.shape[1] == 3
+    assert s.triplet_type.shape[0] == s.triplets.shape[0]
+    P = len(ds.vocab["pred_name_to_idx"])
+    assert s.conv_counts.shape == (P, P + 1)
+    # dummy row is all zeros and box -1
+    assert (s.objs[-1] == 0).all()
+    assert (s.boxes[-1] == -1).all()
+    # determinism
+    s2 = ds[0]
+    assert np.array_equal(s.triplets, s2.triplets)
+    assert np.array_equal(s.objs, s2.objs)
+
+
+def test_bucketed_loader_shapes():
+    cfg = Config(dataset="packed_clevr_syn", num_train_samples=16, batch_size=4,
+                 min_objects=3, max_objects=6, learned_converse=True,
+                 image_size=(64, 64))
+    ds = get_dataset(cfg.dataset, "train", cfg)
+    loader = BucketedLoader(ds, cfg.batch_size, bucket_objects=(8, 16),
+                            bucket_triplets=(32, 64, 128), seed=0, prefetch=0)
+    pad_pred = ds.vocab["pred_name_to_idx"]["__padding__"]
+    batches = list(loader)
+    assert len(batches) == 4
+    for b in batches:
+        B, O, A = b.objs.shape
+        assert B == 4 and O in (8, 16) and A == 4
+        assert b.boxes.shape == (B, O, 4)
+        assert b.triplets.shape[0] == B and b.triplets.shape[2] == 3
+        assert b.triplets.shape[1] in (32, 64, 128)
+        # padding triplets carry the padding predicate and zero endpoints
+        t = b.triplets
+        pad_rows = t[:, :, 1] == pad_pred
+        assert (t[..., 0][pad_rows] == 0).all()
+        assert b.imgs.shape == (B, 64, 64, 3)
+
+
+def test_loader_weight_feedback():
+    ds = SyntheticClevrDataset(num_samples=4, learned_converse=True, seed=1)
+    loader = BucketedLoader(ds, 2, prefetch=0)
+    P = len(ds.vocab["pred_name_to_idx"])
+    w = np.full((P, P), 3.14)
+    loader.set_converse_weights(w)
+    next(iter(loader))
+    assert np.allclose(ds.converse_candidates_weights, 3.14)
