@@ -1,10 +1,17 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware (and never touch the real chip).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# exercised without TPU hardware (and never touch the real chip). The
+# container's sitecustomize imports jax and latches JAX_PLATFORMS=axon before
+# this file runs, so overriding the env var alone is not enough — update the
+# already-latched config directly.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
