@@ -216,9 +216,9 @@ def to_cli_parser(defaults: Config | None = None) -> argparse.ArgumentParser:
         elif f.name in ("bucket_objects", "bucket_triplets"):
             parser.add_argument(name, type=lambda s: tuple(int(x) for x in s.split(",")),
                                 default=default)
-        elif isinstance(default, int):
+        elif isinstance(default, int) or "int" in str(f.type):
             parser.add_argument(name, type=int, default=default)
-        elif isinstance(default, float):
+        elif isinstance(default, float) or "float" in str(f.type):
             parser.add_argument(name, type=float, default=default)
         else:
             parser.add_argument(name, type=str, default=default)

@@ -157,8 +157,9 @@ class BucketedLoader:
             try:
                 for b in self._epoch_batches():
                     q.put(b)
-            finally:
                 q.put(sentinel)
+            except BaseException as e:  # propagate to the consumer
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -166,6 +167,8 @@ class BucketedLoader:
             item = q.get()
             if item is sentinel:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def __len__(self) -> int:

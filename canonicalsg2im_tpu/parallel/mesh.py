@@ -1,0 +1,45 @@
+"""Device mesh + sharding rules.
+
+The reference's only parallelism is single-process multi-GPU DataParallel plus
+a thread-pipe SyncBN (SURVEY.md §2.9). Here the same (and more) falls out of
+the XLA SPMD partitioner: we build a ('data', 'model') mesh, shard every batch
+tensor along 'data', replicate parameters, and jit the train step. Gradient
+all-reduce and cross-replica BatchNorm statistics are collectives XLA inserts
+on its own — batch-dim means inside a data-sharded jit ARE synchronized
+BatchNorm, replacing the reference's 638-LoC sync_batchnorm package.
+
+The 'model' axis is reserved for sharding the object/triplet axes of very
+large packed graphs (the graph analogue of sequence parallelism, SURVEY.md
+§5.7) and for spatially-sharded convolutions at high resolution.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(mesh_shape=(-1, 1), devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    data, model = mesh_shape
+    if data == -1:
+        data = len(devices) // model
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place every array of a Batch/pytree with its leading dim on 'data'."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, s) if x is not None else None, batch
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)

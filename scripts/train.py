@@ -1,0 +1,131 @@
+"""Training driver — counterpart of the reference `scripts/train.py`.
+
+Currently drives the SG->Layout stage (the reference's
+``--skip_generation 1`` configuration, its "minimum end-to-end slice"); the
+AttSPADE GAN stage plugs into the same loop via train.gan_step.
+
+Usage:
+  python -m scripts.train --dataset packed_clevr_syn --skip_generation 1 \
+      --num_iterations 200 --batch_size 16 --learned_converse 1
+"""
+from __future__ import annotations
+
+import os
+import time
+
+from canonicalsg2im_tpu.utils.platform import apply_platform_override
+
+apply_platform_override()
+
+import jax
+import numpy as np
+
+from canonicalsg2im_tpu.config import Config, parse_cli
+from canonicalsg2im_tpu.data import BucketedLoader, get_dataset
+from canonicalsg2im_tpu.data.vocab import non_meta_relation_ids
+from canonicalsg2im_tpu.parallel import create_mesh, shard_batch, replicate
+from canonicalsg2im_tpu.train import (
+    create_layout_state,
+    layout_eval_step,
+    layout_train_step,
+)
+from canonicalsg2im_tpu.utils import MetricLogger, restore_checkpoint, save_checkpoint
+
+
+def evaluate_layout(cfg, state, loader, rng, max_samples=None):
+    sums = {"iou_sum": 0.0, "iou05_sum": 0.0, "iou03_sum": 0.0, "count": 0.0}
+    bbox_losses, seen = [], 0
+    for batch in loader:
+        metrics, *_ = layout_eval_step(state, batch, rng,
+                                       bbox_weight=cfg.bbox_pred_loss_weight)
+        for k in sums:
+            sums[k] += float(metrics[k])
+        bbox_losses.append(float(metrics["bbox_pred"]))
+        seen += batch.objs.shape[0]
+        if max_samples and seen >= max_samples:
+            break
+    n = max(sums["count"], 1.0)
+    return {
+        "avg_iou": sums["iou_sum"] / n,
+        "total_iou_05": sums["iou05_sum"] / n,
+        "total_iou_03": sums["iou03_sum"] / n,
+        "bbox_pred": float(np.mean(bbox_losses)) if bbox_losses else 0.0,
+    }
+
+
+def main(cfg: Config):
+    train_ds = get_dataset(cfg.dataset, "train", cfg)
+    val_ds = get_dataset(cfg.dataset, "val", cfg)
+    cfg.vocab = train_ds.vocab
+    cfg.finalize()
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    cfg.save(os.path.join(cfg.output_dir, "run_args.json"))
+    logger = MetricLogger(cfg.output_dir, every=min(cfg.print_every, 500))
+
+    loader_kw = dict(bucket_objects=cfg.bucket_objects,
+                     bucket_triplets=cfg.bucket_triplets, seed=cfg.seed)
+    train_loader = BucketedLoader(train_ds, cfg.batch_size, shuffle=True, **loader_kw)
+    val_loader = BucketedLoader(val_ds, cfg.batch_size, shuffle=cfg.shuffle_val,
+                                **loader_kw)
+
+    mesh = create_mesh(cfg.mesh_shape)
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_rng = jax.random.split(rng)
+    state = create_layout_state(cfg, init_rng)
+    state = replicate(state, mesh)
+
+    t, epoch = 0, 0
+    if cfg.restore_checkpoint and cfg.checkpoint_name:
+        tree, counters = restore_checkpoint(cfg.checkpoint_name, like=state)
+        state, t, epoch = tree, counters["t"], counters["epoch"]
+
+    non_meta = tuple(non_meta_relation_ids(cfg.vocab))
+    t_start, t0_steps = time.time(), t
+
+    while t < cfg.num_iterations:
+        epoch += 1
+        for batch in train_loader:
+            if t >= cfg.num_iterations:
+                break
+            t += 1
+            rng, step_rng = jax.random.split(rng)
+            batch = shard_batch(batch, mesh)
+            state, metrics, conv_w = layout_train_step(
+                state, batch, step_rng,
+                non_meta_rels=non_meta,
+                bbox_weight=cfg.bbox_pred_loss_weight,
+                mask_weight=cfg.mask_pred_loss_weight,
+                learned_converse=cfg.learned_converse,
+            )
+            if cfg.learned_converse:
+                # device -> host -> data pipeline feedback (train.py:383-385)
+                w = np.asarray(jax.device_get(conv_w))
+                train_loader.set_converse_weights(w)
+                val_loader.set_converse_weights(w)
+
+            if t % cfg.print_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                rate = (t - t0_steps) * cfg.batch_size / max(time.time() - t_start, 1e-9)
+                print(f"t = {t} / {cfg.num_iterations} "
+                      + " ".join(f"[{k}]: {v:.4f}" for k, v in m.items())
+                      + f" ({rate:.1f} graphs/s)")
+                logger.log("train/loss", m, t, force=True)
+
+            if t % cfg.checkpoint_every == 0 or t == cfg.num_iterations:
+                rng, eval_rng = jax.random.split(rng)
+                val = evaluate_layout(cfg, state, val_loader, eval_rng,
+                                      max_samples=cfg.num_val_samples)
+                print(f"Iter: {t}, VAL avg_iou: {val['avg_iou']:.4f} "
+                      f"iou03: {val['total_iou_03']:.4f} "
+                      f"iou05: {val['total_iou_05']:.4f}")
+                logger.log("val/loss", val, t, force=True)
+                path = os.path.join(cfg.output_dir, f"itr_{t}.ckpt")
+                save_checkpoint(path, state, vocab=cfg.vocab,
+                                counters={"t": t, "epoch": epoch})
+                print("Saving checkpoint to", path)
+    logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    main(parse_cli())
