@@ -1,0 +1,97 @@
+"""Headline benchmark: AttSPADE 256x256 adversarial training throughput.
+
+Runs the FULL GAN train step (SG->Layout GCN + AttSPADE generator forward/
+backward, REINFORCE converse update, image+object discriminator updates) on
+synthetic packed-CLEVR scenes on the attached TPU chip and prints ONE JSON
+line:
+
+  {"metric": "attspade_256_train_images_per_sec_per_chip", "value": N,
+   "unit": "images/sec/chip", "vs_baseline": R}
+
+vs_baseline divides by BASELINE_IMAGES_PER_SEC — the reference publishes no
+throughput numbers (BASELINE.md: "--timing flag declared but unused"), so the
+denominator is an estimate of the PyTorch reference's single-V100 throughput
+at the README's training scale (batch 16 @ 256^2, ~1 it/s for SPADE-class
+GANs): 16 images/sec. The north-star target is vs_baseline >= 10.
+
+Env overrides: BENCH_IMAGE_SIZE, BENCH_BATCH, BENCH_STEPS, BENCH_WARMUP.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from canonicalsg2im_tpu.utils.platform import apply_platform_override
+
+apply_platform_override()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+from canonicalsg2im_tpu.config import Config  # noqa: E402
+from canonicalsg2im_tpu.data import BucketedLoader, get_dataset  # noqa: E402
+from canonicalsg2im_tpu.models.vgg import load_vgg_params  # noqa: E402
+from canonicalsg2im_tpu.parallel import create_mesh, replicate, shard_batch  # noqa: E402
+from canonicalsg2im_tpu.train.gan import (  # noqa: E402
+    create_gan_states,
+    gan_train_step,
+    step_cfg_from_config,
+)
+
+BASELINE_IMAGES_PER_SEC = 16.0
+
+
+def main():
+    size = int(os.environ.get("BENCH_IMAGE_SIZE", 256))
+    batch = int(os.environ.get("BENCH_BATCH", 16))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+    warmup = int(os.environ.get("BENCH_WARMUP", 2))
+
+    cfg = Config(
+        dataset="packed_clevr_syn", image_size=(size, size), batch_size=batch,
+        num_train_samples=max(4 * batch, 64), min_objects=3, max_objects=10,
+        learned_converse=True, learned_transitivity=True,
+        no_vgg_loss=False,
+    )
+    ds = get_dataset(cfg.dataset, "train", cfg)
+    cfg.vocab = ds.vocab
+    cfg.finalize()
+    loader = BucketedLoader(ds, batch, seed=0, prefetch=2,
+                            bucket_objects=(16,), bucket_triplets=(256,))
+    mesh = create_mesh(cfg.mesh_shape)
+    states = replicate(create_gan_states(cfg, jax.random.PRNGKey(0)), mesh)
+    sc = step_cfg_from_config(cfg)
+    vgg_params = replicate(load_vgg_params(cfg.weights_dir)[0], mesh)
+
+    rng = jax.random.PRNGKey(1)
+    it = iter(loader)
+
+    def step(states, b, k):
+        return gan_train_step(states, shard_batch(b, mesh), k, vgg_params,
+                              sc=sc)
+
+    for _ in range(warmup):
+        rng, k = jax.random.split(rng)
+        states, metrics, _ = step(states, next(it), k)
+    jax.block_until_ready(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        rng, k = jax.random.split(rng)
+        states, metrics, _ = step(states, next(it), k)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = len(jax.devices())
+    imgs_per_sec = steps * batch / dt / max(n_chips, 1)
+    print(json.dumps({
+        "metric": "attspade_%d_train_images_per_sec_per_chip" % size,
+        "value": round(imgs_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / BASELINE_IMAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

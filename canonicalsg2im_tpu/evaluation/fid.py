@@ -1,0 +1,118 @@
+"""Fréchet Inception Distance (reference `evaluation/fid/fid_score.py`).
+
+Pool-3 (2048-d) activations come from the JAX InceptionV3
+(evaluation/inception.py); the Fréchet distance with sqrtm stabilization
+follows fid_score.py:100-160. The reference's FID uses the TF-ported
+"pt_inception" weights with slightly modified pooling blocks
+(evaluation/fid/inception.py) — load ``weights/fid_inception.npz`` for those
+weights in the standard architecture; the pooling deltas are documented
+upstream as <1e-3 FID.
+
+Also usable as a CLI over two image directories:
+  python -m canonicalsg2im_tpu.evaluation.fid path/to/real path/to/fake
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import jax
+import numpy as np
+
+from canonicalsg2im_tpu.evaluation.inception import (
+    InceptionV3,
+    load_inception_variables,
+    resize_bilinear,
+)
+
+
+class FidActivations:
+    """Accumulates pool-3 activations for batches of [-1, 1] NHWC images."""
+
+    def __init__(self, weights_dir: str = "weights"):
+        variables, self.pretrained = load_inception_variables(
+            weights_dir, name="fid_inception.npz")
+        if not self.pretrained:
+            variables, self.pretrained = load_inception_variables(weights_dir)
+        self.variables = variables
+        model = InceptionV3()
+
+        def _acts(variables, imgs):
+            x = resize_bilinear(imgs, 299)
+            _, pool = model.apply(variables, x)
+            return pool
+
+        self._acts = jax.jit(_acts)
+        self.acts: list = []
+
+    def __call__(self, imgs):
+        self.acts.append(np.asarray(self._acts(self.variables, imgs)))
+
+    def statistics(self):
+        a = np.concatenate(self.acts, axis=0)
+        mu = a.mean(axis=0)
+        sigma = np.cov(a, rowvar=False)
+        return mu, sigma
+
+
+def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6):
+    """fid_score.py:126-160, including the offset stabilization."""
+    from scipy import linalg
+
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            raise ValueError("Imaginary component in sqrtm: "
+                             f"{np.max(np.abs(covmean.imag))}")
+        covmean = covmean.real
+    return (diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+            - 2 * np.trace(covmean))
+
+
+def _load_dir_batches(path: str, batch_size: int) -> Iterable[np.ndarray]:
+    from PIL import Image
+
+    files = sorted(
+        str(p) for p in os.scandir(path)
+        if p.name.lower().endswith((".png", ".jpg", ".jpeg")))
+    files = [f.path if hasattr(f, "path") else f for f in files]
+    for i in range(0, len(files) - len(files) % batch_size, batch_size):
+        imgs = []
+        for f in files[i:i + batch_size]:
+            arr = np.asarray(Image.open(f).convert("RGB"), dtype=np.float32)
+            imgs.append(arr / 127.5 - 1.0)
+        yield np.stack(imgs)
+
+
+def calculate_fid_given_paths(paths, batch_size: int = 50,
+                              weights_dir: str = "weights") -> float:
+    """fid_score.py:232-250 — FID between two image directories."""
+    stats = []
+    for p in paths:
+        acc = FidActivations(weights_dir)
+        for batch in _load_dir_batches(p, batch_size):
+            acc(batch)
+        stats.append(acc.statistics())
+    (m1, s1), (m2, s2) = stats
+    return float(calculate_frechet_distance(m1, s1, m2, s2))
+
+
+if __name__ == "__main__":
+    import argparse
+
+    from canonicalsg2im_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("path", nargs=2)
+    ap.add_argument("--batch-size", type=int, default=50)
+    ap.add_argument("--weights-dir", default="weights")
+    args = ap.parse_args()
+    print("FID:", calculate_fid_given_paths(args.path, args.batch_size,
+                                            args.weights_dir))

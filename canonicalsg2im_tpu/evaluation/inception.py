@@ -1,0 +1,278 @@
+"""InceptionV3 in flax + Inception Score (reference `evaluation/inception.py`).
+
+The reference uses torchvision's pretrained inception_v3 (a downloaded native
+dependency, SURVEY.md §2.10). Weights are loaded from
+``<weights_dir>/inception_v3.npz`` (produced by scripts/convert_weights.py
+from the torchvision .pth); without them a fixed-seed random init is used —
+IS/FID numbers are then only self-consistent, not comparable to the
+literature. Matches torchvision's layout (BasicConv2d = conv + BN(eps=1e-3) +
+relu, blocks 5b..7c, 2048-d pool, 1000-way fc) with transform_input=False, as
+the reference constructs it (inception.py:16).
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class BasicConv2d(nn.Module):
+    out: int
+    kernel: tuple
+    stride: tuple = (1, 1)
+    padding: tuple | str = ((0, 0), (0, 0))
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.out, self.kernel, strides=self.stride,
+                    padding=self.padding, use_bias=False, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                         name="bn")(x)
+        return nn.relu(x)
+
+
+def _pad(k):
+    if isinstance(k, int):
+        return ((k, k), (k, k))
+    return ((k[0], k[0]), (k[1], k[1]))
+
+
+def _avg_pool_3x3_pad1(x):
+    """torch avg_pool2d(3, stride=1, padding=1) with count_include_pad=True."""
+    summed = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                         count_include_pad=True)
+    return summed
+
+
+class InceptionA(nn.Module):
+    pool_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv2d(64, (1, 1), name="branch1x1")(x)
+        b5 = BasicConv2d(48, (1, 1), name="branch5x5_1")(x)
+        b5 = BasicConv2d(64, (5, 5), padding=_pad(2), name="branch5x5_2")(b5)
+        b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
+        b3 = BasicConv2d(96, (3, 3), padding=_pad(1), name="branch3x3dbl_2")(b3)
+        b3 = BasicConv2d(96, (3, 3), padding=_pad(1), name="branch3x3dbl_3")(b3)
+        bp = _avg_pool_3x3_pad1(x)
+        bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool")(bp)
+        return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class InceptionB(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv2d(384, (3, 3), stride=(2, 2), name="branch3x3")(x)
+        bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(96, (3, 3), padding=_pad(1), name="branch3x3dbl_2")(bd)
+        bd = BasicConv2d(96, (3, 3), stride=(2, 2), name="branch3x3dbl_3")(bd)
+        bp = nn.max_pool(x, (3, 3), strides=(2, 2))
+        return jnp.concatenate([b3, bd, bp], axis=-1)
+
+
+class InceptionC(nn.Module):
+    c7: int
+
+    @nn.compact
+    def __call__(self, x):
+        c7 = self.c7
+        b1 = BasicConv2d(192, (1, 1), name="branch1x1")(x)
+        b7 = BasicConv2d(c7, (1, 1), name="branch7x7_1")(x)
+        b7 = BasicConv2d(c7, (1, 7), padding=((0, 0), (3, 3)),
+                         name="branch7x7_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=((3, 3), (0, 0)),
+                         name="branch7x7_3")(b7)
+        bd = BasicConv2d(c7, (1, 1), name="branch7x7dbl_1")(x)
+        bd = BasicConv2d(c7, (7, 1), padding=((3, 3), (0, 0)),
+                         name="branch7x7dbl_2")(bd)
+        bd = BasicConv2d(c7, (1, 7), padding=((0, 0), (3, 3)),
+                         name="branch7x7dbl_3")(bd)
+        bd = BasicConv2d(c7, (7, 1), padding=((3, 3), (0, 0)),
+                         name="branch7x7dbl_4")(bd)
+        bd = BasicConv2d(192, (1, 7), padding=((0, 0), (3, 3)),
+                         name="branch7x7dbl_5")(bd)
+        bp = _avg_pool_3x3_pad1(x)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
+        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class InceptionD(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv2d(192, (1, 1), name="branch3x3_1")(x)
+        b3 = BasicConv2d(320, (3, 3), stride=(2, 2), name="branch3x3_2")(b3)
+        b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1")(x)
+        b7 = BasicConv2d(192, (1, 7), padding=((0, 0), (3, 3)),
+                         name="branch7x7x3_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=((3, 3), (0, 0)),
+                         name="branch7x7x3_3")(b7)
+        b7 = BasicConv2d(192, (3, 3), stride=(2, 2), name="branch7x7x3_4")(b7)
+        bp = nn.max_pool(x, (3, 3), strides=(2, 2))
+        return jnp.concatenate([b3, b7, bp], axis=-1)
+
+
+class InceptionE(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x)
+        b3 = BasicConv2d(384, (1, 1), name="branch3x3_1")(x)
+        b3a = BasicConv2d(384, (1, 3), padding=((0, 0), (1, 1)),
+                          name="branch3x3_2a")(b3)
+        b3b = BasicConv2d(384, (3, 1), padding=((1, 1), (0, 0)),
+                          name="branch3x3_2b")(b3)
+        b3 = jnp.concatenate([b3a, b3b], axis=-1)
+        bd = BasicConv2d(448, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(384, (3, 3), padding=_pad(1),
+                         name="branch3x3dbl_2")(bd)
+        bda = BasicConv2d(384, (1, 3), padding=((0, 0), (1, 1)),
+                          name="branch3x3dbl_3a")(bd)
+        bdb = BasicConv2d(384, (3, 1), padding=((1, 1), (0, 0)),
+                          name="branch3x3dbl_3b")(bd)
+        bd = jnp.concatenate([bda, bdb], axis=-1)
+        bp = _avg_pool_3x3_pad1(x)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
+        return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+class InceptionV3(nn.Module):
+    """torchvision inception_v3 body. Returns (logits (N, 1000),
+    pool (N, 2048)); images NHWC in [-1, 1] are resized to 299 by callers."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = BasicConv2d(32, (3, 3), stride=(2, 2), name="Conv2d_1a_3x3")(x)
+        x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
+        x = BasicConv2d(64, (3, 3), padding=_pad(1), name="Conv2d_2b_3x3")(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
+        x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = InceptionA(32, name="Mixed_5b")(x)
+        x = InceptionA(64, name="Mixed_5c")(x)
+        x = InceptionA(64, name="Mixed_5d")(x)
+        x = InceptionB(name="Mixed_6a")(x)
+        x = InceptionC(128, name="Mixed_6b")(x)
+        x = InceptionC(160, name="Mixed_6c")(x)
+        x = InceptionC(160, name="Mixed_6d")(x)
+        x = InceptionC(192, name="Mixed_6e")(x)
+        x = InceptionD(name="Mixed_7a")(x)
+        x = InceptionE(name="Mixed_7b")(x)
+        x = InceptionE(name="Mixed_7c")(x)
+        pool = x.mean(axis=(1, 2))  # adaptive avg pool to 1x1
+        logits = nn.Dense(1000, name="fc")(pool)
+        return logits, pool
+
+
+def _torch_key_map(params, prefix=""):
+    """Map flax param paths to torchvision state-dict keys."""
+    flat = {}
+
+    def walk(tree, path):
+        for k, v in tree.items():
+            p = path + [k]
+            if isinstance(v, dict) and not ("kernel" in v or "scale" in v or
+                                            "bias" in v and len(v) <= 2):
+                walk(v, p)
+            else:
+                flat[tuple(p)] = v
+
+    walk(params, [])
+    return flat
+
+
+def load_inception_variables(weights_dir: str,
+                             name: str = "inception_v3.npz",
+                             rng_seed: int = 7):
+    """Returns ({'params', 'batch_stats'}, pretrained: bool)."""
+    model = InceptionV3()
+    variables = model.init(jax.random.PRNGKey(rng_seed),
+                           jnp.zeros((1, 299, 299, 3)))
+    path = os.path.join(weights_dir, name)
+    if not os.path.exists(path):
+        return variables, False
+    data = np.load(path)
+
+    import flax
+
+    flat_p = flax.traverse_util.flatten_dict(variables["params"])
+    flat_s = flax.traverse_util.flatten_dict(variables["batch_stats"])
+
+    def torch_name(path_tuple, leaf):
+        mods = [p for p in path_tuple[:-1]]
+        base = ".".join(mods)
+        inner = path_tuple[-1]
+        if inner == "kernel" and path_tuple[-2] == "conv":
+            return base + ".weight"
+        if path_tuple[-2] == "bn":
+            table = {"scale": "weight", "bias": "bias",
+                     "mean": "running_mean", "var": "running_var"}
+            return base + "." + table[inner]
+        if path_tuple[-2] == "fc":
+            return "fc." + {"kernel": "weight", "bias": "bias"}[inner]
+        return None
+
+    for flat, kind in ((flat_p, "params"), (flat_s, "stats")):
+        for key in list(flat):
+            tn = torch_name(key, flat[key])
+            if tn is None or tn not in data:
+                continue
+            arr = jnp.asarray(data[tn])
+            if arr.shape != flat[key].shape:
+                raise ValueError(f"shape mismatch for {tn}: "
+                                 f"{arr.shape} vs {flat[key].shape}")
+            flat[key] = arr
+    params = flax.traverse_util.unflatten_dict(flat_p)
+    stats = flax.traverse_util.unflatten_dict(flat_s)
+    return {"params": params, "batch_stats": stats}, True
+
+
+def resize_bilinear(x, size):
+    """F.interpolate(mode='bilinear', align_corners=False) equivalent."""
+    return jax.image.resize(x, (x.shape[0], size, size, x.shape[3]),
+                            method="bilinear")
+
+
+class InceptionScore:
+    """Accumulating IS evaluator (evaluation/inception.py:8-49).
+
+    Call with [-1, 1] NHWC batches; compute_score(splits) -> (mean, std).
+    """
+
+    def __init__(self, weights_dir: str = "weights", resize: bool = True):
+        self.variables, self.pretrained = load_inception_variables(weights_dir)
+        self.resize = resize
+        self.model = InceptionV3()
+        self._predict = jax.jit(self._predict_impl)
+        self.clean()
+
+    def _predict_impl(self, variables, imgs):
+        x = resize_bilinear(imgs, 299) if self.resize else imgs
+        logits, _ = self.model.apply(variables, x)
+        return jax.nn.softmax(logits, axis=1)
+
+    def clean(self):
+        self.preds = np.zeros((0, 1000))
+
+    def __call__(self, imgs):
+        p = np.asarray(self._predict(self.variables, imgs))
+        self.preds = np.append(self.preds, p, axis=0)
+
+    def compute_score(self, splits: int = 1):
+        preds = self.preds
+        N = preds.shape[0]
+        if N == 0:
+            return 0.0, 0.0
+        scores = []
+        for k in range(splits):
+            part = preds[k * (N // splits): (k + 1) * (N // splits)]
+            if part.shape[0] == 0:
+                continue
+            py = part.mean(axis=0)
+            kl = part * (np.log(part + 1e-12) - np.log(py + 1e-12)[None])
+            scores.append(np.exp(kl.sum(axis=1).mean()))
+        return float(np.mean(scores)), float(np.std(scores))

@@ -1,0 +1,270 @@
+"""AttSPADE generator stack (reference `spade/models/networks/{normalization,
+architecture,generator,encoder}.py`), in flax / NHWC.
+
+TPU-native notes:
+- 'syncbatch' normalization is a plain flax BatchNorm: under a jit whose batch
+  is sharded over the data mesh axis, XLA computes the batch statistics with a
+  global all-reduce — the entire 638-LoC sync_batchnorm package of the
+  reference collapses into this (SURVEY.md §2.9).
+- Spectral norm is ``nn.SpectralNorm`` (power iteration state in the
+  'batch_stats' collection), replacing torch's hook-based implementation.
+- The layout `seg` is built by the closed-form splat ops (see ops/layout.py)
+  over the full fixed-shape object set; dummy objects are excluded via a mask
+  instead of the reference's dynamic `remove_dummy_objects` filtering.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from canonicalsg2im_tpu.models.embed import AttributeEmbeddings
+from canonicalsg2im_tpu.models.layers import (
+    CNN,
+    MLP,
+    get_activation,
+    resize_nearest,
+    upsample_nearest,
+)
+from canonicalsg2im_tpu.ops.layout import boxes_to_layout, masks_to_layout
+
+
+def _leaky(x):
+    return nn.leaky_relu(x, negative_slope=0.2)
+
+
+def spectral(layer: nn.Module, enabled: bool) -> nn.Module:
+    return nn.SpectralNorm(layer) if enabled else layer
+
+
+class ParamFreeNorm(nn.Module):
+    """The parameter-free half of SPADE: syncbatch/batch/instance, no affine
+    (normalization.py:75-83)."""
+
+    kind: str  # 'syncbatch' | 'batch' | 'instance'
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if self.kind in ("syncbatch", "batch"):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, use_bias=False, use_scale=False)(x)
+        if self.kind == "instance":
+            mean = x.mean(axis=(1, 2), keepdims=True)
+            var = x.var(axis=(1, 2), keepdims=True)
+            return (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        raise ValueError(f"{self.kind} is not a recognized param-free norm")
+
+
+class SPADE(nn.Module):
+    """SPADE conditional normalization (normalization.py:66-110)."""
+
+    config_text: str  # e.g. 'spadesyncbatch3x3'
+    norm_nc: int
+
+    @nn.compact
+    def __call__(self, x, segmap, train: bool = True):
+        parsed = re.search(r"spade(\D+)(\d)x\d", self.config_text)
+        norm_kind, ks = str(parsed.group(1)), int(parsed.group(2))
+        normalized = ParamFreeNorm(norm_kind)(x, train=train)
+
+        seg = resize_nearest(segmap, x.shape[1:3])
+        nhidden = 128
+        actv = nn.relu(nn.Conv(nhidden, (ks, ks), padding="SAME",
+                               name="mlp_shared")(seg))
+        gamma = nn.Conv(self.norm_nc, (ks, ks), padding="SAME",
+                        name="mlp_gamma")(actv)
+        beta = nn.Conv(self.norm_nc, (ks, ks), padding="SAME",
+                       name="mlp_beta")(actv)
+        return normalized * (1.0 + gamma) + beta
+
+
+class SPADEResnetBlock(nn.Module):
+    """architecture.py:21-68."""
+
+    fin: int
+    fout: int
+    norm_G: str = "spectralspadesyncbatch3x3"
+
+    @nn.compact
+    def __call__(self, x, seg, train: bool = True):
+        use_sn = "spectral" in self.norm_G
+        spade_cfg = self.norm_G.replace("spectral", "")
+        fmiddle = min(self.fin, self.fout)
+        learned_shortcut = self.fin != self.fout
+
+        def conv(feats, name, k=3, use_bias=True):
+            layer = nn.Conv(feats, (k, k), padding="SAME", use_bias=use_bias,
+                            name=name)
+            return layer
+
+        def apply_conv(layer, y):
+            if use_sn:
+                return nn.SpectralNorm(layer)(y, update_stats=train)
+            return layer(y)
+
+        if learned_shortcut:
+            x_s = apply_conv(conv(self.fout, "conv_s", k=1, use_bias=False),
+                             SPADE(spade_cfg, self.fin, name="norm_s")(
+                                 x, seg, train=train))
+        else:
+            x_s = x
+
+        dx = apply_conv(conv(fmiddle, "conv_0"),
+                        _leaky(SPADE(spade_cfg, self.fin, name="norm_0")(
+                            x, seg, train=train)))
+        dx = apply_conv(conv(self.fout, "conv_1"),
+                        _leaky(SPADE(spade_cfg, fmiddle, name="norm_1")(
+                            dx, seg, train=train)))
+        return x_s + dx
+
+
+def num_up_layers(num_upsampling_layers: str) -> int:
+    table = {"normal": 5, "more": 6, "most": 7}
+    if num_upsampling_layers not in table:
+        raise ValueError(f"num_upsampling_layers [{num_upsampling_layers}]")
+    return table[num_upsampling_layers]
+
+
+def build_seg_layout(obj_vecs, objs, layout_boxes, layout_masks, image_size,
+                     test_mode: bool):
+    """Object vectors -> spatial seg map, boxes or masks path
+    (generator.py:81-96 / discriminator.py:100-119)."""
+    real = (objs[..., 0] != 0).astype(obj_vecs.dtype)
+    if layout_masks is not None:
+        return masks_to_layout(obj_vecs, layout_boxes, layout_masks,
+                               image_size[0], image_size[0],
+                               real_mask=real, test_mode=test_mode)
+    return boxes_to_layout(obj_vecs * real[..., None], layout_boxes,
+                           image_size[0], image_size[0], real_mask=real)
+
+
+class SPADEGenerator(nn.Module):
+    """AttSPADE (generator.py:13-127): attribute-embedded layout -> SPADE
+    ResNet upsampling pyramid -> RGB.
+
+    The auxiliary ``repr_net``/``AppearanceEncoder`` the reference constructs
+    but does not use in the main forward (generator.py:50-62) are available as
+    standalone modules (`AppearanceEncoder`, `models/layers.MLP`) for the
+    appearance-conditioned generation flows.
+    """
+
+    vocab: Dict
+    embedding_dim: int = 32
+    ngf: int = 64
+    image_size: tuple = (256, 256)
+    num_upsampling_layers: str = "normal"
+    norm_G: str = "spectralspadesyncbatch3x3"
+    aspect_ratio: float = 1.0
+    use_vae: bool = False
+    z_dim: int = 256
+
+    @nn.compact
+    def __call__(self, objs, layout_boxes, layout_masks=None, *,
+                 test_mode: bool = False, train: bool = True, z=None):
+        nf = self.ngf
+        n_up = num_up_layers(self.num_upsampling_layers)
+        sw = self.image_size[0] // (2 ** n_up)
+        sh = round(sw / self.aspect_ratio)
+
+        obj_vecs = AttributeEmbeddings(self.vocab["attributes"],
+                                       self.embedding_dim,
+                                       name="attribute_embedding")(objs)
+        seg = build_seg_layout(obj_vecs, objs, layout_boxes, layout_masks,
+                               self.image_size, test_mode)
+
+        if self.use_vae:
+            if z is None:
+                z = jax.random.normal(self.make_rng("noise"),
+                                      (objs.shape[0], self.z_dim))
+            x = nn.Dense(16 * nf * sw * sh, name="fc")(z)
+            x = x.reshape(objs.shape[0], sh, sw, 16 * nf)
+        else:
+            x = resize_nearest(seg, (sh, sw))
+            x = nn.Conv(16 * nf, (3, 3), padding="SAME", name="fc")(x)
+
+        blk = lambda fi, fo, name: SPADEResnetBlock(fi, fo, self.norm_G, name=name)
+        x = blk(16 * nf, 16 * nf, "head_0")(x, seg, train=train)
+        x = upsample_nearest(x)
+        x = blk(16 * nf, 16 * nf, "G_middle_0")(x, seg, train=train)
+        if self.num_upsampling_layers in ("more", "most"):
+            x = upsample_nearest(x)
+        x = blk(16 * nf, 16 * nf, "G_middle_1")(x, seg, train=train)
+        x = upsample_nearest(x)
+        x = blk(16 * nf, 8 * nf, "up_0")(x, seg, train=train)
+        x = upsample_nearest(x)
+        x = blk(8 * nf, 4 * nf, "up_1")(x, seg, train=train)
+        x = upsample_nearest(x)
+        x = blk(4 * nf, 2 * nf, "up_2")(x, seg, train=train)
+        x = upsample_nearest(x)
+        x = blk(2 * nf, 1 * nf, "up_3")(x, seg, train=train)
+        if self.num_upsampling_layers == "most":
+            x = upsample_nearest(x)
+            x = blk(nf, nf // 2, "up_4")(x, seg, train=train)
+
+        x = nn.Conv(3, (3, 3), padding="SAME", name="conv_img")(_leaky(x))
+        return jnp.tanh(x)
+
+
+class AppearanceEncoder(nn.Module):
+    """CNN crop encoder (generator.py:130-147)."""
+
+    arch: str = "C4-64-2,C4-128-2,C4-256-2"
+    normalization: str = "batch"
+    activation: str = "leakyrelu-0.2"
+    padding: str = "valid"
+    vecs_size: int = 192
+
+    @nn.compact
+    def __call__(self, crops, train: bool = True):
+        x = CNN(self.arch, normalization=self.normalization,
+                activation=self.activation, padding=self.padding)(crops,
+                                                                  train=train)
+        x = x.mean(axis=(1, 2))
+        return nn.Dense(self.vecs_size)(x)
+
+
+class ConvEncoder(nn.Module):
+    """VAE image encoder (encoder.py:13-55): 5-6 strided convs -> (mu, logvar)."""
+
+    ngf: int = 64
+    norm_E: str = "spectralinstance"
+    image_size: tuple = (256, 256)
+    z_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        use_sn = self.norm_E.startswith("spectral")
+        kind = self.norm_E[len("spectral"):] if use_sn else self.norm_E
+
+        def block(y, feats, name):
+            layer = nn.Conv(feats, (3, 3), strides=(2, 2), padding="SAME",
+                            use_bias=(kind in ("none", "")), name=name)
+            y = nn.SpectralNorm(layer)(y, update_stats=train) if use_sn else layer(y)
+            if kind == "instance":
+                mean = y.mean(axis=(1, 2), keepdims=True)
+                var = y.var(axis=(1, 2), keepdims=True)
+                y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+            elif kind in ("batch", "sync_batch"):
+                y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5)(y)
+            return y
+
+        if x.shape[1] != 256 or x.shape[2] != 256:
+            x = jax.image.resize(x, (x.shape[0], 256, 256, x.shape[3]),
+                                 method="bilinear")
+        ndf = self.ngf
+        x = block(x, ndf, "layer1")
+        x = block(_leaky(x), ndf * 2, "layer2")
+        x = block(_leaky(x), ndf * 4, "layer3")
+        x = block(_leaky(x), ndf * 8, "layer4")
+        x = block(_leaky(x), ndf * 8, "layer5")
+        if self.image_size[0] >= 256:
+            x = block(_leaky(x), ndf * 8, "layer6")
+        x = _leaky(x)
+        x = x.reshape(x.shape[0], -1)
+        mu = nn.Dense(self.z_dim, name="fc_mu")(x)
+        logvar = nn.Dense(self.z_dim, name="fc_var")(x)
+        return mu, logvar

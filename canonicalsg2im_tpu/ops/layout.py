@@ -67,7 +67,7 @@ def box_coverage(boxes, H: int, W: int, src_size: int = TILE):
 
 
 def boxes_to_layout(vecs, boxes, H: int, W: int | None = None, *,
-                    obj_chunk: int = 64):
+                    real_mask=None, obj_chunk: int = 64):
     """Splat object vectors into a spatial layout (reference boxes_to_layout,
     sg2im/layout.py:12-45, pooling='sum').
 
@@ -83,6 +83,10 @@ def boxes_to_layout(vecs, boxes, H: int, W: int | None = None, *,
         W = H
     B, O, D = vecs.shape
     cov_y, cov_x = box_coverage(boxes, H, W)
+    if real_mask is not None:
+        # drop dummy/padding objects regardless of their (possibly predicted)
+        # boxes — the static-shape analogue of remove_dummy_objects
+        cov_y = cov_y * real_mask[..., None]
 
     chunk = min(obj_chunk, O)
     if O % chunk:
@@ -143,7 +147,7 @@ def sample_masks(masks, boxes, H: int, W: int):
 
 
 def masks_to_layout(vecs, boxes, masks, H: int, W: int | None = None, *,
-                    test_mode: bool = False):
+                    real_mask=None, test_mode: bool = False):
     """Mask-shaped splat (reference masks_to_layout, sg2im/layout.py:48-77).
 
     Training mode sum-pools ``vec ⊗ sampled_mask`` over objects. Test mode
@@ -158,6 +162,8 @@ def masks_to_layout(vecs, boxes, masks, H: int, W: int | None = None, *,
     if W is None:
         W = H
     sampled = sample_masks(masks.astype(jnp.float32), boxes, H, W)  # (B,O,H,W)
+    if real_mask is not None:
+        sampled = sampled * real_mask[:, :, None, None]
     if not test_mode:
         return jnp.einsum("bohw,bod->bhwd", sampled, vecs,
                           preferred_element_type=jnp.float32)

@@ -1,0 +1,421 @@
+"""Full adversarial training: the TPU counterpart of
+`sg2im/pix2pix_model.py` + the optimizer choreography of `scripts/train.py`.
+
+One jitted step fuses what the reference runs as five backward passes
+(generator, REINFORCE-converse, image-D, object-D, mask-D,
+scripts/train.py:353-393 + :468-485):
+
+- generator pass: bbox/mask prediction losses, hinge G loss from the image D,
+  feature matching, VGG perceptual, optional object-D/AC/mask-D terms, and the
+  REINFORCE converse surrogate — one value_and_grad over the generator params
+  (the disjoint base/trans/converse optimizer groups are one
+  optax.multi_transform, see train/state.py);
+- discriminator pass: image/object/mask D losses on stop-gradient fakes, one
+  value_and_grad over the dict of all D params (losses are param-disjoint, so
+  this equals the reference's three separate backwards).
+
+The reference's ``D_img_wrong`` term is computed but never backpropagated
+(pix2pix_model.py:166-172 adds it after total_img_loss is formed); we
+reproduce that: it appears in the metrics, not in the optimized total.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional, Sequence
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from canonicalsg2im_tpu.config import Config
+from canonicalsg2im_tpu.graphs.converse import converse_log_likelihood
+from canonicalsg2im_tpu.losses.bbox import bbox_losses, mask_pred_loss, real_object_mask
+from canonicalsg2im_tpu.losses.gan import GanLoss, bce_logits
+from canonicalsg2im_tpu.models.discriminators import (
+    AcCropDiscriminator,
+    MultiscaleDiscriminator,
+    MultiscaleMaskDiscriminator,
+)
+from canonicalsg2im_tpu.models.meta import MetaGeneratorModel
+from canonicalsg2im_tpu.models.sg2layout import symmetrize_converse
+from canonicalsg2im_tpu.models.vgg import VGGLoss
+from canonicalsg2im_tpu.train.state import layout_optimizer
+
+
+class TrainStateWithStats(train_state.TrainState):
+    batch_stats: Any = None
+
+
+class GanStates(flax.struct.PyTreeNode):
+    g: TrainStateWithStats
+    d_img: TrainStateWithStats
+    d_obj: Optional[TrainStateWithStats] = None
+    d_mask: Optional[TrainStateWithStats] = None
+
+
+class StepCfg(NamedTuple):
+    """Hashable static configuration for the jitted steps."""
+
+    non_meta_rels: tuple
+    gan_mode: str = "hinge"
+    bbox_weight: float = 10.0
+    mask_weight: float = 0.0
+    lambda_feat: float = 10.0
+    lambda_vgg: float = 10.0
+    w_d_img: float = 1.0
+    w_d_obj: float = 0.1
+    w_ac: float = 0.1
+    num_D: int = 2
+    no_ganFeat_loss: bool = False
+    no_vgg_loss: bool = False
+    use_img_disc: bool = False
+    skip_graph_model: bool = False
+    skip_generation: bool = False
+    learned_converse: bool = False
+    mask_size: int = 0
+    use_gt_boxes: bool = True
+    use_gt_masks: bool = True
+
+
+def step_cfg_from_config(cfg: Config) -> StepCfg:
+    from canonicalsg2im_tpu.data.vocab import non_meta_relation_ids
+
+    return StepCfg(
+        non_meta_rels=tuple(non_meta_relation_ids(cfg.vocab)),
+        gan_mode=cfg.gan_mode,
+        bbox_weight=cfg.bbox_pred_loss_weight,
+        mask_weight=cfg.mask_pred_loss_weight,
+        lambda_feat=cfg.lambda_feat,
+        lambda_vgg=cfg.lambda_vgg,
+        w_d_img=cfg.discriminator_img_loss_weight,
+        w_d_obj=cfg.discriminator_obj_loss_weight,
+        w_ac=cfg.ac_loss_weight,
+        num_D=cfg.num_D,
+        no_ganFeat_loss=cfg.no_ganFeat_loss,
+        no_vgg_loss=cfg.no_vgg_loss,
+        use_img_disc=cfg.use_img_disc,
+        skip_graph_model=cfg.skip_graph_model,
+        skip_generation=cfg.skip_generation,
+        learned_converse=cfg.learned_converse,
+        mask_size=cfg.mask_size,
+        use_gt_boxes=not cfg.skip_graph_model or cfg.isTrain,
+        use_gt_masks=cfg.mask_size > 0,
+    )
+
+
+# --------------------------------------------------------------------- setup
+
+def create_gan_states(cfg: Config, rng) -> GanStates:
+    """Build generator + discriminators and their four Adam optimizers
+    (meta_models.py:54-90: betas (0.5, 0.999) for every D; generator groups
+    per train/state.py)."""
+    g_model = MetaGeneratorModel.from_config(cfg)
+    O, T, A = 8, 16, cfg.num_attributes
+    B = 2
+    H = cfg.image_size[0]
+    objs = jnp.zeros((B, O, A), jnp.int32)
+    triplets = jnp.zeros((B, T, 3), jnp.int32)
+    ttype = jnp.zeros((B, T), jnp.int32)
+    boxes = jnp.zeros((B, O, 4), jnp.float32)
+    masks = (jnp.zeros((B, O, cfg.mask_size, cfg.mask_size), jnp.float32)
+             if cfg.mask_size > 0 else None)
+    imgs = jnp.zeros((B, H, H, 3), jnp.float32)
+
+    r_p, r_n, r_d = jax.random.split(rng, 3)
+    g_vars = g_model.init({"params": r_p, "noise": r_n}, objs, triplets, ttype,
+                          boxes_gt=boxes, masks_gt=masks, train=False)
+    g_state = TrainStateWithStats.create(
+        apply_fn=g_model.apply, params=g_vars["params"],
+        batch_stats=g_vars.get("batch_stats", {}),
+        tx=layout_optimizer(cfg))
+
+    def d_state(model, init_args, lr):
+        variables = model.init(r_d, *init_args, train=False)
+        return TrainStateWithStats.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            tx=optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2))
+
+    d_img_model = MultiscaleDiscriminator(
+        vocab=cfg.vocab, embedding_dim=cfg.embedding_dim,
+        image_size=tuple(cfg.image_size), num_D=cfg.num_D,
+        n_layers_D=cfg.n_layers_D, ndf=cfg.ndf, norm_D=cfg.norm_D)
+    d_img = d_state(d_img_model, (imgs, objs, boxes, masks),
+                    cfg.img_learning_rate)
+
+    d_obj = d_mask = None
+    if not cfg.use_img_disc:
+        d_obj_model = AcCropDiscriminator(
+            vocab=cfg.vocab, arch=cfg.d_obj_arch,
+            normalization=cfg.d_normalization, activation=cfg.d_activation,
+            padding=cfg.d_padding, object_size=cfg.crop_size)
+        d_obj = d_state(d_obj_model, (imgs, objs, boxes), cfg.learning_rate)
+        if cfg.mask_size > 0:
+            d_mask_model = MultiscaleMaskDiscriminator(
+                vocab=cfg.vocab, num_D=cfg.num_D, n_layers_D=cfg.n_layers_D,
+                ndf=cfg.ndf, norm_D=cfg.norm_D)
+            d_mask = d_state(d_mask_model, (objs, masks),
+                             cfg.mask_learning_rate)
+    return GanStates(g=g_state, d_img=d_img, d_obj=d_obj, d_mask=d_mask)
+
+
+# ----------------------------------------------------------------- internals
+
+def _apply(state, params, args, kwargs, train: bool, rngs=None):
+    variables = {"params": params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    mutable = ["batch_stats"] if (train and state.batch_stats) else False
+    out = state.apply_fn(variables, *args, train=train, mutable=mutable,
+                         rngs=rngs, **kwargs)
+    if mutable:
+        y, new_vars = out
+        return y, new_vars.get("batch_stats", state.batch_stats)
+    return out, state.batch_stats
+
+
+def _masked_hinge_g(scores, mask):
+    m = mask.astype(scores.dtype)
+    return -(scores * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+def _masked_bce(scores, target: float, mask):
+    m = mask.astype(scores.dtype)
+    s = scores
+    loss = jnp.clip(s, 0.0, None) - s * target + jnp.log1p(jnp.exp(-jnp.abs(s)))
+    return (loss * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
+                     vgg_params):
+    """compute_generator_loss (pix2pix_model.py:65-143)."""
+    criterion = GanLoss(sc.gan_mode)
+    boxes_gt = batch.boxes if sc.use_gt_boxes else None
+    masks_gt = batch.masks if (sc.use_gt_masks and batch.masks is not None) else None
+
+    (img_pred, boxes_pred, masks_pred), new_gstats = _apply(
+        states.g, g_params,
+        (batch.objs, batch.triplets, batch.triplet_type),
+        {"boxes_gt": boxes_gt, "masks_gt": masks_gt},
+        train=True, rngs={"noise": rng})
+
+    losses = {}
+    total = 0.0
+    per_sample = None
+    if not sc.skip_graph_model:
+        per_sample, bbox_mean = bbox_losses(boxes_pred, batch.boxes,
+                                            batch.objs, weight=sc.bbox_weight)
+        losses["bbox_pred"] = bbox_mean
+        total = total + bbox_mean
+        if batch.masks is not None and masks_pred is not None and sc.mask_weight:
+            m = mask_pred_loss(masks_pred, batch.masks, batch.objs,
+                               sc.mask_weight)
+            losses["masks_pred"] = m
+            total = total + m
+
+    if not sc.skip_generation:
+        d_boxes = batch.boxes
+        pred_fake, _ = _apply(states.d_img, jax.lax.stop_gradient(states.d_img.params),
+                              (img_pred, batch.objs, d_boxes),
+                              {"layout_masks": batch.masks}, train=False)
+        gan_img = criterion(pred_fake, True, for_discriminator=False)
+        losses["GAN_Img"] = gan_img * sc.w_d_img
+        total = total + losses["GAN_Img"]
+
+        if not sc.no_ganFeat_loss:
+            pred_real, _ = _apply(states.d_img,
+                                  jax.lax.stop_gradient(states.d_img.params),
+                                  (batch.imgs, batch.objs, d_boxes),
+                                  {"layout_masks": batch.masks}, train=False)
+            feat = 0.0
+            for i in range(sc.num_D):
+                for j in range(len(pred_fake[i]) - 1):
+                    feat = feat + jnp.abs(
+                        pred_fake[i][j] - jax.lax.stop_gradient(pred_real[i][j])
+                    ).mean() * sc.lambda_feat / sc.num_D
+            losses["GAN_Feat"] = feat
+            total = total + feat
+
+        if not sc.no_vgg_loss:
+            vgg = VGGLoss(vgg_params)(img_pred, batch.imgs) * sc.lambda_vgg
+            losses["VGG"] = vgg
+            total = total + vgg
+
+        if not sc.use_img_disc and states.d_obj is not None:
+            (scores_fake, real, ac_loss, _), _ = _apply(
+                states.d_obj, jax.lax.stop_gradient(states.d_obj.params),
+                (img_pred, batch.objs, d_boxes), {}, train=False)
+            if sc.gan_mode == "hinge":
+                g_obj = _masked_hinge_g(scores_fake, real)
+            else:
+                g_obj = criterion(scores_fake, True, for_discriminator=False)
+            losses["GAN_Obj"] = g_obj * sc.w_d_obj
+            losses["GAN_Ac"] = ac_loss * sc.w_ac
+            total = total + losses["GAN_Obj"] + losses["GAN_Ac"]
+
+            if states.d_mask is not None and sc.mask_size > 0 and masks_pred is not None:
+                scores_fake_m, _ = _apply(
+                    states.d_mask, jax.lax.stop_gradient(states.d_mask.params),
+                    (batch.objs, masks_pred), {}, train=False)
+                gan_mask = criterion(scores_fake_m, True,
+                                     for_discriminator=False)
+                losses["GAN_Mask"] = gan_mask * sc.w_d_img
+                total = total + losses["GAN_Mask"]
+                if not sc.no_ganFeat_loss and batch.masks is not None:
+                    scores_real_m, _ = _apply(
+                        states.d_mask,
+                        jax.lax.stop_gradient(states.d_mask.params),
+                        (batch.objs, batch.masks), {}, train=False)
+                    feat_m = 0.0
+                    for i in range(len(scores_fake_m)):
+                        for j in range(len(scores_fake_m[i]) - 1):
+                            feat_m = feat_m + jnp.abs(
+                                scores_fake_m[i][j]
+                                - jax.lax.stop_gradient(scores_real_m[i][j])
+                            ).mean() * sc.lambda_feat / len(scores_fake_m)
+                    losses["GAN_Mask_Feat"] = feat_m
+                    total = total + feat_m
+
+    if sc.learned_converse and per_sample is not None:
+        r = jax.lax.stop_gradient(per_sample)
+        B = r.shape[0]
+        if B > 1:
+            std = jnp.sqrt(jnp.sum((r - r.mean()) ** 2) / (B - 1))
+            r = (r - r.mean()) / (std + jnp.finfo(jnp.float32).eps)
+        conv_w = symmetrize_converse(
+            g_params["sg_to_layout"]["converse_candidates_weights"])
+        log_p = converse_log_likelihood(conv_w, sc.non_meta_rels,
+                                        batch.conv_counts)
+        loss_conv = jnp.mean(r * log_p)
+        losses["loss_conv"] = loss_conv
+        total = total + loss_conv
+
+    losses["total_loss"] = total
+    outputs = (img_pred, boxes_pred, masks_pred)
+    return total, (losses, outputs, new_gstats)
+
+
+def discriminator_losses(sc: StepCfg, states: GanStates, d_params, batch,
+                         outputs):
+    """compute_discriminator_loss (pix2pix_model.py:145-202)."""
+    criterion = GanLoss(sc.gan_mode)
+    img_pred, boxes_pred, masks_pred = [
+        jax.lax.stop_gradient(o) if o is not None else None for o in outputs]
+    d_boxes = batch.boxes
+
+    losses = {}
+    new_stats = {}
+    pred_fake, new_stats["img"] = _apply(
+        states.d_img, d_params["img"], (img_pred, batch.objs, d_boxes),
+        {"layout_masks": batch.masks}, train=True)
+    gt_real, new_stats["img"] = _apply(
+        states.d_img.replace(batch_stats=new_stats["img"]), d_params["img"],
+        (batch.imgs, batch.objs, d_boxes),
+        {"layout_masks": batch.masks}, train=True)
+    losses["D_img_fake"] = criterion(pred_fake, False, for_discriminator=True)
+    losses["D_img_real"] = criterion(gt_real, True, for_discriminator=True)
+    total = losses["D_img_fake"] + losses["D_img_real"]
+    losses["total_img_loss"] = total
+    if not sc.use_img_disc:
+        # vestigial in the reference: logged, never backpropagated
+        losses["D_img_wrong"] = jax.lax.stop_gradient(
+            criterion(gt_real, False, for_discriminator=True) * 0.25)
+
+    if not sc.use_img_disc and states.d_obj is not None:
+        (scores_real, real, ac_real, _), new_stats["obj"] = _apply(
+            states.d_obj, d_params["obj"], (batch.imgs, batch.objs, d_boxes),
+            {}, train=True)
+        (scores_fake, _, ac_fake, _), new_stats["obj"] = _apply(
+            states.d_obj.replace(batch_stats=new_stats["obj"]),
+            d_params["obj"], (img_pred, batch.objs, d_boxes), {}, train=True)
+        d_obj = (_masked_bce(scores_real, 1.0, real)
+                 + _masked_bce(scores_fake, 0.0, real)) * 0.5
+        losses["D_obj"] = d_obj
+        losses["D_ac_real"] = ac_real
+        losses["D_ac_fake"] = ac_fake
+        obj_total = d_obj + ac_real + ac_fake
+        losses["total_obj_loss"] = obj_total
+        total = total + obj_total
+
+        if states.d_mask is not None and sc.mask_size > 0 and masks_pred is not None:
+            fake_m, new_stats["mask"] = _apply(
+                states.d_mask, d_params["mask"], (batch.objs, masks_pred),
+                {}, train=True)
+            real_m, new_stats["mask"] = _apply(
+                states.d_mask.replace(batch_stats=new_stats["mask"]),
+                d_params["mask"], (batch.objs, batch.masks), {}, train=True)
+            mask_total = (criterion(fake_m, False, for_discriminator=True) * 0.5
+                          + criterion(real_m, True, for_discriminator=True) * 0.5)
+            losses["total_mask_loss"] = mask_total
+            total = total + mask_total
+
+    return total, (losses, new_stats)
+
+
+# ----------------------------------------------------------------- the steps
+
+@partial(jax.jit, static_argnames=("sc",), donate_argnames=("states",))
+def gan_train_step(states: GanStates, batch, rng, vgg_params, *, sc: StepCfg):
+    """One full G + REINFORCE + D update. Returns (states, metrics, conv_w)."""
+    g_rng, _ = jax.random.split(rng)
+
+    (_, (g_losses, outputs, new_gstats)), g_grads = jax.value_and_grad(
+        lambda p: generator_losses(sc, states, p, batch, g_rng, vgg_params),
+        has_aux=True)(states.g.params)
+    g_state = states.g.apply_gradients(grads=g_grads)
+    g_state = g_state.replace(batch_stats=new_gstats)
+    states = states.replace(g=g_state)
+
+    metrics = dict(g_losses)
+    if not sc.skip_generation:
+        d_params = {"img": states.d_img.params}
+        if states.d_obj is not None:
+            d_params["obj"] = states.d_obj.params
+        if states.d_mask is not None:
+            d_params["mask"] = states.d_mask.params
+
+        (_, (d_losses, d_stats)), d_grads = jax.value_and_grad(
+            lambda p: discriminator_losses(sc, states, p, batch, outputs),
+            has_aux=True)(d_params)
+        d_img = states.d_img.apply_gradients(grads=d_grads["img"]).replace(
+            batch_stats=d_stats.get("img", states.d_img.batch_stats))
+        states = states.replace(d_img=d_img)
+        if states.d_obj is not None:
+            d_obj = states.d_obj.apply_gradients(grads=d_grads["obj"]).replace(
+                batch_stats=d_stats.get("obj", states.d_obj.batch_stats))
+            states = states.replace(d_obj=d_obj)
+        if states.d_mask is not None:
+            d_mask = states.d_mask.apply_gradients(
+                grads=d_grads["mask"]).replace(
+                batch_stats=d_stats.get("mask", states.d_mask.batch_stats))
+            states = states.replace(d_mask=d_mask)
+        metrics.update(d_losses)
+
+    conv_w = None
+    if not sc.skip_graph_model:
+        conv_w = symmetrize_converse(
+            states.g.params["sg_to_layout"]["converse_candidates_weights"])
+    return states, metrics, conv_w
+
+
+@partial(jax.jit, static_argnames=("sc", "use_gt"))
+def gan_eval_step(states: GanStates, batch, rng, *, sc: StepCfg,
+                  use_gt: bool = True):
+    """Inference forward (test_mode) + IoU totals — check_model's core."""
+    from canonicalsg2im_tpu.evaluation.metrics import masked_batch_iou
+
+    boxes_gt = batch.boxes if use_gt else None
+    masks_gt = batch.masks if (use_gt and batch.masks is not None) else None
+    (img, boxes_pred, masks_pred), _ = _apply(
+        states.g, states.g.params,
+        (batch.objs, batch.triplets, batch.triplet_type),
+        {"boxes_gt": boxes_gt, "masks_gt": masks_gt, "test_mode": True},
+        train=False, rngs={"noise": rng})
+    metrics = {}
+    if boxes_pred is not None:
+        totals, per_image = masked_batch_iou(boxes_pred, batch.boxes,
+                                             batch.objs)
+        metrics.update(totals)
+    return img, boxes_pred, masks_pred, metrics

@@ -53,6 +53,99 @@ def evaluate_layout(cfg, state, loader, rng, max_samples=None):
     }
 
 
+def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
+    """Adversarial training loop (reference train.py:346-438, GAN configs)."""
+    from canonicalsg2im_tpu.models.vgg import load_vgg_params
+    from canonicalsg2im_tpu.train.gan import (
+        create_gan_states, gan_eval_step, gan_train_step, step_cfg_from_config)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_rng = jax.random.split(rng)
+    states = create_gan_states(cfg, init_rng)
+    states = replicate(states, mesh)
+    sc = step_cfg_from_config(cfg)
+    vgg_params, vgg_pretrained = load_vgg_params(cfg.weights_dir)
+    if not vgg_pretrained and not cfg.no_vgg_loss:
+        print("WARNING: no converted VGG19 weights found under "
+              f"{cfg.weights_dir}/ — using a fixed-seed random perceptual "
+              "net. Run scripts/convert_weights.py for reference parity.")
+    vgg_params = replicate(vgg_params, mesh)
+
+    t, epoch = 0, 0
+    if cfg.restore_checkpoint and cfg.checkpoint_name:
+        states, counters = restore_checkpoint(cfg.checkpoint_name, like=states)
+        t, epoch = counters["t"], counters["epoch"]
+
+    t_start, t0_steps = time.time(), t
+    while t < cfg.num_iterations:
+        epoch += 1
+        for batch in train_loader:
+            if t >= cfg.num_iterations:
+                break
+            t += 1
+            rng, step_rng = jax.random.split(rng)
+            batch = shard_batch(batch, mesh)
+            states, metrics, conv_w = gan_train_step(
+                states, batch, step_rng, vgg_params, sc=sc)
+            if cfg.learned_converse and conv_w is not None:
+                w = np.asarray(jax.device_get(conv_w))
+                train_loader.set_converse_weights(w)
+                val_loader.set_converse_weights(w)
+
+            if t % cfg.print_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                rate = ((t - t0_steps) * cfg.batch_size
+                        / max(time.time() - t_start, 1e-9))
+                print(f"t = {t} / {cfg.num_iterations} "
+                      + " ".join(f"[{k}]: {v:.4f}" for k, v in sorted(m.items()))
+                      + f" ({rate:.2f} imgs/s)")
+                logger.log("train/loss", m, t, force=True)
+
+            if t % cfg.checkpoint_every == 0 or t == cfg.num_iterations:
+                rng, eval_rng = jax.random.split(rng)
+                sums = {"iou_sum": 0.0, "iou05_sum": 0.0, "iou03_sum": 0.0,
+                        "count": 0.0}
+                seen = 0
+                for vb in val_loader:
+                    vb = shard_batch(vb, mesh)
+                    img, *_rest, vmetrics = gan_eval_step(
+                        states, vb, eval_rng, sc=sc,
+                        use_gt=cfg.skip_graph_model)
+                    for k in sums:
+                        if k in vmetrics:
+                            sums[k] += float(vmetrics[k])
+                    seen += vb.objs.shape[0]
+                    if cfg.num_val_samples and seen >= cfg.num_val_samples:
+                        break
+                n = max(sums["count"], 1.0)
+                val = {"avg_iou": sums["iou_sum"] / n,
+                       "total_iou_05": sums["iou05_sum"] / n,
+                       "total_iou_03": sums["iou03_sum"] / n}
+                print(f"Iter: {t}, VAL avg_iou: {val['avg_iou']:.4f}")
+                logger.log("val/loss", val, t, force=True)
+                path = os.path.join(cfg.output_dir, f"itr_{t}.ckpt")
+                save_checkpoint(path, states, vocab=cfg.vocab,
+                                counters={"t": t, "epoch": epoch})
+                print("Saving checkpoint to", path)
+                if img is not None:
+                    save_image_grid(np.asarray(jax.device_get(img)),
+                                    os.path.join(cfg.output_dir, "val",
+                                                 str(t), "samples.png"))
+    return states
+
+
+def save_image_grid(imgs, path):
+    """Dump a [-1,1] NHWC image batch as one PNG row (train.py:454-465)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arr = np.clip((imgs + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    row = np.concatenate(list(arr), axis=1)
+    Image.fromarray(row).save(path)
+
+
 def main(cfg: Config):
     train_ds = get_dataset(cfg.dataset, "train", cfg)
     val_ds = get_dataset(cfg.dataset, "val", cfg)
@@ -69,6 +162,12 @@ def main(cfg: Config):
                                 **loader_kw)
 
     mesh = create_mesh(cfg.mesh_shape)
+
+    if not cfg.skip_generation:
+        states = train_gan(cfg, train_loader, val_loader, mesh, logger)
+        logger.close()
+        return states
+
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)
     state = create_layout_state(cfg, init_rng)
