@@ -58,7 +58,7 @@ def main():
     cfg.vocab = ds.vocab
     cfg.finalize()
     loader = BucketedLoader(ds, batch, seed=0, prefetch=2,
-                            bucket_objects=(16,), bucket_triplets=(256,))
+                            bucket_objects=(16,), bucket_triplets=(512,))
     mesh = create_mesh(cfg.mesh_shape)
     states = replicate(create_gan_states(cfg, jax.random.PRNGKey(0)), mesh)
     sc = step_cfg_from_config(cfg)

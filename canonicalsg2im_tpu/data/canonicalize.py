@@ -17,6 +17,7 @@ from canonicalsg2im_tpu.graphs import (
     ORIGINAL_EDGE,
     TRANSITIVE_EDGE,
     get_current_and_transitive_triplets,
+    get_minimal_and_transitive_triplets,
     sample_converse_triplets,
     triplets_to_minimal,
 )
@@ -87,6 +88,52 @@ def dummy_triplets(num_objects: int, image_idx: int, vocab: dict) -> list:
     (base_dataset.py:141-150)."""
     in_image = vocab["pred_name_to_idx"]["__in_image__"]
     return [[i, in_image, image_idx] for i in range(num_objects) if i != image_idx]
+
+
+def sample_canonical_graph(triplets, vocab,
+                           rng: np.random.Generator | None = None):
+    """Random canonical-equivalent graph sampling — the data augmentation of
+    the reference's `CanonicalPackedCocoSceneGraphDataset.sample_graph`
+    (sg2im/data/canonical_packed_coco.py:366-404).
+
+    Per converse pair (below/above, left/right, inside/surrounding) one
+    direction is randomly dropped (or neither), each relation is reduced to
+    its minimal graph, and a random subset of its transitive closure edges is
+    re-added half the time — producing semantically equivalent graph variants.
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+    if len(triplets) == 0:
+        return []
+    triplets_arr = np.unique(np.asarray(triplets, dtype=np.int64), axis=0)
+    p2i = vocab["pred_name_to_idx"]
+    i2p = vocab["pred_idx_to_name"]
+    dropped = {
+        rng.choice(["__below__", "__above__", None]),
+        rng.choice(["__left of__", "__right of__", None]),
+        rng.choice(["__inside__", "__surrounding__", None]),
+    }
+    meta = {p2i[p] for p in META_RELATIONS}
+    non_meta = set(p2i.values()) - meta
+
+    out: list = []
+    for rel in non_meta:
+        if i2p[rel] in dropped:
+            continue
+        rel_triplets = triplets_arr[triplets_arr[:, 1] == rel]
+        if len(rel_triplets) == 0:
+            continue
+        if i2p[rel] in AUGMENTED_RELATIONS:
+            minimal, transitive = get_minimal_and_transitive_triplets(rel_triplets)
+        else:
+            minimal, transitive = get_current_and_transitive_triplets(rel_triplets)
+        out.extend(np.asarray(minimal).tolist())
+        if rng.integers(0, 2) and len(transitive) > 0:
+            mask = rng.integers(0, 2, size=len(transitive)).astype(bool)
+            out.extend(np.asarray(transitive)[mask].tolist())
+    for rel in meta:
+        out.extend(triplets_arr[triplets_arr[:, 1] == rel].tolist())
+    return out
 
 
 def augment_triplets(

@@ -72,7 +72,7 @@ class CocoSceneGraphDataset:
                  include_dummies: bool = False, learned_converse: bool = False,
                  learned_transitivity: bool = False, use_converse: bool = False,
                  include_relationships: bool = True, max_samples=None,
-                 seed: int = 0):
+                 canonical_sampling: bool = False, seed: int = 0):
         self.image_dir = image_dir
         self.image_size = tuple(image_size)
         self.packed = packed
@@ -84,6 +84,9 @@ class CocoSceneGraphDataset:
         self.use_converse = use_converse
         self.include_relationships = include_relationships
         self.max_samples = max_samples
+        # canonical_packed_coco's graph-variant augmentation
+        # (canonical_packed_coco.py:366-404)
+        self.canonical_sampling = canonical_sampling
         self.seed = seed
 
         with open(instances_json) as f:
@@ -254,6 +257,11 @@ class CocoSceneGraphDataset:
 
         if self.packed:
             triplets = location_triplets(boxes_arr, centers, real, self.vocab)
+            if self.canonical_sampling:
+                from canonicalsg2im_tpu.data.canonicalize import (
+                    sample_canonical_graph)
+
+                triplets = sample_canonical_graph(triplets, self.vocab, rng)
         else:
             triplets = self._sparse_triplets(boxes_arr, centers, real, rng)
         if self.include_dummies:

@@ -40,18 +40,20 @@ def get_dataset(name: str, partition: str, cfg: Config):
             max_objects=cfg.max_objects or (1000 if name == "packed_clevr" else 10),
             **common,
         )
-    if name in ("coco", "packed_coco"):
+    if name in ("coco", "packed_coco", "canonical_packed_coco"):
         from canonicalsg2im_tpu.data.coco import CocoSceneGraphDataset
 
         split = "train2017" if partition == "train" else "val2017"
+        packed = name != "coco"
         return CocoSceneGraphDataset(
             image_dir=f"{cfg.dataroot}/MSCoco/images/{split}",
             instances_json=f"{cfg.dataroot}/MSCoco/annotations/instances_{split}.json",
             stuff_json=f"{cfg.dataroot}/MSCoco/annotations/stuff_{split}.json",
-            packed=(name == "packed_coco"),
+            packed=packed,
             partition=partition,
-            min_objects=cfg.min_objects or (16 if name == "packed_coco" else 3),
-            max_objects=cfg.max_objects or (1000 if name == "packed_coco" else 8),
+            canonical_sampling=(name == "canonical_packed_coco"),
+            min_objects=cfg.min_objects or (16 if packed else 3),
+            max_objects=cfg.max_objects or (1000 if packed else 8),
             min_object_size=cfg.min_object_size,
             **common,
         )

@@ -83,6 +83,27 @@ def lsgan_d_loss(scores_real, scores_fake):
     return jnp.mean((r - 1.0) ** 2) + jnp.mean(f ** 2)
 
 
+def gradient_penalty(x_real, x_fake, f, rng, gamma: float = 1.0):
+    """WGAN-GP penalty (sg2im/losses.py:132-144): unit-gradient-norm on
+    random interpolates (the reference draws eps ~ N(0,1), matched here)."""
+    import jax
+
+    N = x_real.shape[0]
+    eps = jax.random.normal(rng, (N,) + (1,) * (x_real.ndim - 1),
+                            dtype=x_real.dtype)
+    x_hat = eps * x_real + (1.0 - eps) * x_fake
+
+    def score(x):
+        s = f(x)
+        if s.ndim > 1:
+            s = s.reshape(s.shape[0], -1).mean(axis=1)
+        return s.sum()
+
+    grad = jax.grad(score)(x_hat)
+    norm = jnp.sqrt(jnp.sum(grad.reshape(N, -1) ** 2, axis=1) + 1e-12)
+    return jnp.mean(((norm - gamma) ** 2) / (gamma * gamma))
+
+
 def get_gan_losses(gan_type: str):
     table = {
         "gan": (gan_g_loss, gan_d_loss),

@@ -7,6 +7,21 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+class AttributeEmbedding(nn.Module):
+    """Averaged multi-hot embedding (attribute_embed.py:7-15): x (.., N) are
+    multi-hot indicator rows; output is the count-normalized embedding mix."""
+
+    num_embeddings: int
+    embedding_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        table = self.param("embedding", nn.initializers.normal(1.0),
+                           (self.num_embeddings, self.embedding_dim))
+        emb = x @ table
+        return emb / jnp.sum(x, axis=-1, keepdims=True)
+
+
 class AttributeEmbeddings(nn.Module):
     """One embedding table per attribute, concatenated, with an optional fused
     linear head (attribute_embed.py:18-48).

@@ -1,0 +1,182 @@
+"""Pallas TPU kernel: sparse box-layout splatting.
+
+The closed-form XLA path (ops/layout.py) costs O(B·O·H·W·D) MXU flops even
+though each object's coverage is nonzero only inside its box (typically a few
+percent of the canvas). This kernel tiles the canvas on a (B, H/TH, W/TW)
+grid, prefetches per-object box bounds as scalars, and for each tile loops
+over objects *skipping* — via `@pl.when` on scalar overlap tests — every
+object whose coverage support misses the tile. Effective work drops to
+O(B · Σ_o area_o · D).
+
+Forward-only kernel with a `jax.custom_vjp`: the backward pass reuses the
+dense einsum math (exact gradients; see `_splat_bwd`). Numerics match
+ops.layout.boxes_to_layout exactly (same trapezoid coverage = the reference's
+grid_sample(align_corners=True) semantics, sg2im/layout.py:12-45).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from canonicalsg2im_tpu.ops.layout import TILE, box_coverage
+
+TH = 32   # tile height (sublane-friendly)
+TW = 128  # tile width (lane width)
+
+
+def _kernel(bounds_ref, vecs_ref, cov_y_ref, cov_x_ref, out_ref):
+    """One (b, th, tw) tile: accumulate sum_o vec[o] * covY[o] ⊗ covX[o].
+
+    bounds_ref: scalar-prefetch (B, O, 4) int32 [y_lo, y_hi, x_lo, x_hi] pixel
+      support of each object's coverage.
+    vecs_ref:  (O, D) VMEM
+    cov_y_ref: (O, TH) VMEM (this tile's rows)
+    cov_x_ref: (O, TW) VMEM (this tile's cols)
+    out_ref:   (TH, TW, D) VMEM
+    """
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    y_start = ti * TH
+    x_start = tj * TW
+    O = vecs_ref.shape[0]
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def body(o, _):
+        y_lo = bounds_ref[b, o, 0]
+        y_hi = bounds_ref[b, o, 1]
+        x_lo = bounds_ref[b, o, 2]
+        x_hi = bounds_ref[b, o, 3]
+        overlaps = jnp.logical_and(
+            jnp.logical_and(y_lo < y_start + TH, y_hi > y_start),
+            jnp.logical_and(x_lo < x_start + TW, x_hi > x_start))
+
+        @pl.when(overlaps)
+        def _():
+            cy = cov_y_ref[o, :]                       # (TH,)
+            cx = cov_x_ref[o, :]                       # (TW,)
+            v = vecs_ref[o, :]                         # (D,)
+            patch = cy[:, None] * cx[None, :]          # (TH, TW)
+            out_ref[...] += patch[:, :, None] * v[None, None, :]
+
+        return 0
+
+    jax.lax.fori_loop(0, O, body, 0)
+
+
+def _coverage_bounds(boxes, H: int, W: int):
+    """Integer pixel support of each object's trapezoid coverage (B, O, 4).
+
+    Along x: cov > 0 where -1 < (u - x0)/w * (TILE-1) < TILE, i.e.
+    x in (x0 - w/(TILE-1), x0 + w + w/(TILE-1)) scaled by (W-1) pixels.
+    """
+    def axis_bounds(start, size, n):
+        margin = size / (TILE - 1)
+        lo = (start - margin) * (n - 1)
+        hi = (start + size + margin) * (n - 1) + 1.0
+        bad = size <= 0
+        lo = jnp.where(bad, n, lo)
+        hi = jnp.where(bad, -1, hi)
+        return (jnp.clip(jnp.floor(lo), 0, n).astype(jnp.int32),
+                jnp.clip(jnp.ceil(hi), -1, n).astype(jnp.int32))
+
+    y_lo, y_hi = axis_bounds(boxes[..., 1], boxes[..., 3], H)
+    x_lo, x_hi = axis_bounds(boxes[..., 0], boxes[..., 2], W)
+    return jnp.stack([y_lo, y_hi, x_lo, x_hi], axis=-1)
+
+
+def _splat_fwd_impl(vecs, boxes, H: int, W: int, interpret: bool):
+    B, O, D = vecs.shape
+    cov_y, cov_x = box_coverage(boxes, H, W)          # (B,O,H), (B,O,W)
+    bounds = _coverage_bounds(boxes, H, W)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H // TH, W // TW),
+        in_specs=[
+            pl.BlockSpec((1, O, D), lambda b, i, j, _: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, O, TH), lambda b, i, j, _: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, O, TW), lambda b, i, j, _: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TH, TW, D), lambda b, i, j, _: (b, i, j, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    def kernel(bounds_ref, vecs_ref, cy_ref, cx_ref, out_ref):
+        _kernel(bounds_ref, vecs_ref.at[0], cy_ref.at[0], cx_ref.at[0],
+                out_ref.at[0])
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, D), jnp.float32),
+        interpret=interpret,
+    )(bounds, vecs.astype(jnp.float32), cov_y, cov_x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def boxes_to_layout_pallas(vecs, boxes, H: int, W: int,
+                           interpret: bool = False):
+    """Drop-in for ops.layout.boxes_to_layout (sum pooling) as a Pallas kernel.
+
+    H must be a multiple of 32 and W of 128 (canvas tiles); callers fall back
+    to the XLA einsum path otherwise.
+    """
+    return _splat_fwd_impl(vecs, boxes, H, W, interpret)
+
+
+def _splat_fwd(vecs, boxes, H, W, interpret):
+    return _splat_fwd_impl(vecs, boxes, H, W, interpret), (vecs, boxes)
+
+
+def _splat_bwd(H, W, interpret, res, g):
+    """Exact dense backward (einsum): d vec[o,d] = sum_hw g * covY covX;
+    d boxes via the coverage derivative chain (piecewise-linear trapezoid)."""
+    vecs, boxes = res
+    cov_y, cov_x = box_coverage(boxes, H, W)
+
+    gx = jnp.einsum("bhwd,boh->bowd", g, cov_y)        # (B,O,W,D)
+    d_vecs = jnp.einsum("bowd,bow->bod", gx, cov_x)
+
+    # coverage derivative wrt pixel coordinate: +1 on the rising ramp,
+    # -1 on the falling ramp, 0 elsewhere
+    def cov_grads(start, size, n):
+        from canonicalsg2im_tpu.ops.layout import _axis_pixel_coords
+
+        x_pix = _axis_pixel_coords(start, size, n, TILE)
+        rising = (x_pix > -1.0) & (x_pix < 0.0)
+        falling = (x_pix > TILE - 1.0) & (x_pix < TILE)
+        dcov_dpix = rising.astype(jnp.float32) - falling.astype(jnp.float32)
+        # pix = (u - start)/size * (TILE-1)
+        safe = jnp.where(size == 0, 1.0, size)[..., None]
+        dpix_dstart = -(TILE - 1) / safe
+        dpix_dsize = -x_pix / safe
+        return dcov_dpix * dpix_dstart, dcov_dpix * dpix_dsize
+
+    dcy_dy0, dcy_dh = cov_grads(boxes[..., 1], boxes[..., 3], H)
+    dcx_dx0, dcx_dw = cov_grads(boxes[..., 0], boxes[..., 2], W)
+
+    g_dot_v = jnp.einsum("bhwd,bod->bohw", g, vecs)    # (B,O,H,W)
+    gy = jnp.einsum("bohw,bow->boh", g_dot_v, cov_x)   # dL/d cov_y
+    gxx = jnp.einsum("bohw,boh->bow", g_dot_v, cov_y)  # dL/d cov_x
+    d_x0 = jnp.einsum("bow,bow->bo", gxx, dcx_dx0)
+    d_w = jnp.einsum("bow,bow->bo", gxx, dcx_dw)
+    d_y0 = jnp.einsum("boh,boh->bo", gy, dcy_dy0)
+    d_h = jnp.einsum("boh,boh->bo", gy, dcy_dh)
+    d_boxes = jnp.stack([d_x0, d_y0, d_w, d_h], axis=-1)
+    return d_vecs, d_boxes
+
+
+boxes_to_layout_pallas.defvjp(_splat_fwd, _splat_bwd)
+
+
+def splat_supported(H: int, W: int) -> bool:
+    return H % TH == 0 and W % TW == 0

@@ -26,6 +26,48 @@ def save_checkpoint(path: str, tree: Dict[str, Any], *, vocab=None,
             json.dump(vocab, f)
 
 
+def restore_checkpoints(gan_path: str, graph_path: str, like):
+    """Cross-checkpoint surgery (reference restore_checkpoints,
+    scripts/train.py:63-101): start from a GAN checkpoint, then overlay the
+    SG->Layout subtree (params + canonical weights) from a separately trained
+    graph checkpoint. Mask-discriminator input layers whose shapes disagree
+    keep the freshly initialized values (the reference pops those keys and
+    loads strict=False)."""
+    import numpy as np
+
+    state, counters = restore_checkpoint(gan_path, like=like)
+    graph_state, _ = restore_checkpoint(graph_path, like=None)
+
+    def find_subtree(tree, key):
+        if isinstance(tree, dict):
+            if key in tree:
+                return tree[key]
+            for v in tree.values():
+                found = find_subtree(v, key)
+                if found is not None:
+                    return found
+        return None
+
+    graph_params = find_subtree(graph_state, "sg_to_layout")
+    if graph_params is None:
+        # layout-only checkpoints store the model at params root
+        graph_params = find_subtree(graph_state, "params")
+
+    def overlay(dst, src):
+        out = dict(dst)
+        for k, v in (src or {}).items():
+            if k in out and isinstance(v, dict) and isinstance(out[k], dict):
+                out[k] = overlay(out[k], v)
+            elif k in out and np.shape(out[k]) == np.shape(v):
+                out[k] = v
+        return out
+
+    g = state.g.replace(params=overlay(
+        state.g.params,
+        {"sg_to_layout": graph_params} if graph_params else {}))
+    return state.replace(g=g), {"t": 0, "epoch": 0}
+
+
 def restore_checkpoint(path: str, like: Dict[str, Any] | None = None):
     """Returns (state tree, counters dict). ``like`` restores into matching
     array types/shapes when given."""

@@ -10,12 +10,26 @@ from __future__ import annotations
 
 import os
 
+_CACHE_DIR = os.environ.get(
+    "CSG2IM_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".jax_cache"))
+
 
 def apply_platform_override() -> None:
-    want = os.environ.get("JAX_PLATFORMS")
-    if not want:
-        return
+    """Re-apply JAX_PLATFORMS and enable the persistent compilation cache.
+
+    TPU compiles go through a network tunnel here (~minutes for the full GAN
+    step), so every CLI enables the on-disk executable cache.
+    """
     import jax
 
-    if jax.config.jax_platforms != want:
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and jax.config.jax_platforms != want:
         jax.config.update("jax_platforms", want)
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # cache is best-effort
