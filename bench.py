@@ -44,7 +44,7 @@ BASELINE_IMAGES_PER_SEC = 16.0
 
 def main():
     size = int(os.environ.get("BENCH_IMAGE_SIZE", 256))
-    batch = int(os.environ.get("BENCH_BATCH", 16))
+    batch = int(os.environ.get("BENCH_BATCH", 8))
     steps = int(os.environ.get("BENCH_STEPS", 10))
     warmup = int(os.environ.get("BENCH_WARMUP", 2))
 

@@ -275,4 +275,8 @@ class InceptionScore:
             py = part.mean(axis=0)
             kl = part * (np.log(part + 1e-12) - np.log(py + 1e-12)[None])
             scores.append(np.exp(kl.sum(axis=1).mean()))
+        if not scores:  # fewer images than splits
+            py = preds.mean(axis=0)
+            kl = preds * (np.log(preds + 1e-12) - np.log(py + 1e-12)[None])
+            return float(np.exp(kl.sum(axis=1).mean())), 0.0
         return float(np.mean(scores)), float(np.std(scores))

@@ -38,6 +38,7 @@ class NLayerDiscriminator(nn.Module):
     ndf: int = 64
     n_layers: int = 4
     norm_D: str = "spectralinstance"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True) -> List[jnp.ndarray]:
@@ -47,7 +48,8 @@ class NLayerDiscriminator(nn.Module):
 
         def conv(y, feats, stride, name, use_bias):
             layer = nn.Conv(feats, (4, 4), strides=(stride, stride),
-                            padding=pad, use_bias=use_bias, name=name)
+                            padding=pad, use_bias=use_bias, dtype=self.dtype,
+                            name=name)
             return (nn.SpectralNorm(layer)(y, update_stats=train)
                     if use_sn else layer(y))
 
@@ -87,6 +89,7 @@ class MultiscaleDiscriminator(nn.Module):
     n_layers_D: int = 4
     ndf: int = 64
     norm_D: str = "spectralinstance"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, img, objs, layout_boxes, layout_masks=None, *,
@@ -100,7 +103,7 @@ class MultiscaleDiscriminator(nn.Module):
         results = []
         for i in range(self.num_D):
             results.append(NLayerDiscriminator(
-                self.ndf, self.n_layers_D, self.norm_D,
+                self.ndf, self.n_layers_D, self.norm_D, dtype=self.dtype,
                 name=f"discriminator_{i}")(x, train=train))
             if i + 1 < self.num_D:
                 x = avg_pool_3x3_s2(x)

@@ -95,6 +95,7 @@ class CNN(nn.Module):
     activation: str = "relu"
     padding: str = "same"
     pooling: str = "max"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -125,7 +126,8 @@ class CNN(nn.Module):
                     x = act(x)
                 first_conv = False
                 pad = "SAME" if self.padding == "same" else "VALID"
-                x = nn.Conv(C, (K, K), strides=(stride, stride), padding=pad)(x)
+                x = nn.Conv(C, (K, K), strides=(stride, stride), padding=pad,
+                            dtype=self.dtype)(x)
             elif s[0] == "R":
                 res_in = x
                 y = norm(x) if not first_conv else x

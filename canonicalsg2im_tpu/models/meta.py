@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from canonicalsg2im_tpu.config import Config
 from canonicalsg2im_tpu.models.sg2layout import Sg2LayoutModel
@@ -37,6 +38,8 @@ class MetaGeneratorModel(nn.Module):
     z_dim: int = 256
     skip_graph_model: bool = False
     skip_generation: bool = False
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = True
 
     @classmethod
     def from_config(cls, cfg: Config) -> "MetaGeneratorModel":
@@ -52,6 +55,7 @@ class MetaGeneratorModel(nn.Module):
             aspect_ratio=cfg.aspect_ratio, use_vae=cfg.use_vae, z_dim=cfg.z_dim,
             skip_graph_model=cfg.skip_graph_model,
             skip_generation=cfg.skip_generation,
+            dtype=jnp.dtype(cfg.compute_dtype),
         )
 
     @nn.compact
@@ -87,6 +91,7 @@ class MetaGeneratorModel(nn.Module):
                 num_upsampling_layers=self.num_upsampling_layers,
                 norm_G=self.norm_G, aspect_ratio=self.aspect_ratio,
                 use_vae=self.use_vae, z_dim=self.z_dim,
+                dtype=self.dtype, remat=self.remat,
                 name="layout_to_image_model",
             )(objs, layout_boxes, layout_masks, test_mode=test_mode,
               train=train)

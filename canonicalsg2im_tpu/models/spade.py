@@ -59,26 +59,33 @@ class ParamFreeNorm(nn.Module):
 
 
 class SPADE(nn.Module):
-    """SPADE conditional normalization (normalization.py:66-110)."""
+    """SPADE conditional normalization (normalization.py:66-110).
+
+    `dtype` is the conv compute dtype (bf16 on TPU); the param-free norm and
+    the final affine run in float32 for stable statistics.
+    """
 
     config_text: str  # e.g. 'spadesyncbatch3x3'
     norm_nc: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, segmap, train: bool = True):
         parsed = re.search(r"spade(\D+)(\d)x\d", self.config_text)
         norm_kind, ks = str(parsed.group(1)), int(parsed.group(2))
-        normalized = ParamFreeNorm(norm_kind)(x, train=train)
+        normalized = ParamFreeNorm(norm_kind)(x.astype(jnp.float32),
+                                              train=train)
 
         seg = resize_nearest(segmap, x.shape[1:3])
         nhidden = 128
         actv = nn.relu(nn.Conv(nhidden, (ks, ks), padding="SAME",
-                               name="mlp_shared")(seg))
+                               dtype=self.dtype, name="mlp_shared")(seg))
         gamma = nn.Conv(self.norm_nc, (ks, ks), padding="SAME",
-                        name="mlp_gamma")(actv)
+                        dtype=self.dtype, name="mlp_gamma")(actv)
         beta = nn.Conv(self.norm_nc, (ks, ks), padding="SAME",
-                       name="mlp_beta")(actv)
-        return normalized * (1.0 + gamma) + beta
+                       dtype=self.dtype, name="mlp_beta")(actv)
+        return (normalized * (1.0 + gamma.astype(jnp.float32))
+                + beta.astype(jnp.float32))
 
 
 class SPADEResnetBlock(nn.Module):
@@ -87,6 +94,7 @@ class SPADEResnetBlock(nn.Module):
     fin: int
     fout: int
     norm_G: str = "spectralspadesyncbatch3x3"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, seg, train: bool = True):
@@ -97,7 +105,7 @@ class SPADEResnetBlock(nn.Module):
 
         def conv(feats, name, k=3, use_bias=True):
             layer = nn.Conv(feats, (k, k), padding="SAME", use_bias=use_bias,
-                            name=name)
+                            dtype=self.dtype, name=name)
             return layer
 
         def apply_conv(layer, y):
@@ -105,20 +113,21 @@ class SPADEResnetBlock(nn.Module):
                 return nn.SpectralNorm(layer)(y, update_stats=train)
             return layer(y)
 
+        def spade(name, nc, y):
+            return SPADE(spade_cfg, nc, dtype=self.dtype, name=name)(
+                y, seg, train=train)
+
         if learned_shortcut:
             x_s = apply_conv(conv(self.fout, "conv_s", k=1, use_bias=False),
-                             SPADE(spade_cfg, self.fin, name="norm_s")(
-                                 x, seg, train=train))
+                             spade("norm_s", self.fin, x))
         else:
             x_s = x
 
         dx = apply_conv(conv(fmiddle, "conv_0"),
-                        _leaky(SPADE(spade_cfg, self.fin, name="norm_0")(
-                            x, seg, train=train)))
+                        _leaky(spade("norm_0", self.fin, x)))
         dx = apply_conv(conv(self.fout, "conv_1"),
-                        _leaky(SPADE(spade_cfg, fmiddle, name="norm_1")(
-                            dx, seg, train=train)))
-        return x_s + dx
+                        _leaky(spade("norm_1", fmiddle, dx)))
+        return (x_s + dx).astype(x.dtype)
 
 
 def num_up_layers(num_upsampling_layers: str) -> int:
@@ -160,6 +169,8 @@ class SPADEGenerator(nn.Module):
     aspect_ratio: float = 1.0
     use_vae: bool = False
     z_dim: int = 256
+    dtype: jnp.dtype = jnp.float32   # conv compute dtype (bf16 on TPU)
+    remat: bool = True               # rematerialize each SPADE resblock
 
     @nn.compact
     def __call__(self, objs, layout_boxes, layout_masks=None, *,
@@ -183,26 +194,33 @@ class SPADEGenerator(nn.Module):
             x = x.reshape(objs.shape[0], sh, sw, 16 * nf)
         else:
             x = resize_nearest(seg, (sh, sw))
-            x = nn.Conv(16 * nf, (3, 3), padding="SAME", name="fc")(x)
+            x = nn.Conv(16 * nf, (3, 3), padding="SAME", dtype=self.dtype,
+                        name="fc")(x).astype(jnp.float32)
 
-        blk = lambda fi, fo, name: SPADEResnetBlock(fi, fo, self.norm_G, name=name)
-        x = blk(16 * nf, 16 * nf, "head_0")(x, seg, train=train)
+        # jax.checkpoint each resblock: trade recompute for HBM — the
+        # backward pass otherwise keeps every conv activation of the
+        # 7-block pyramid live at up to 256^2 resolution
+        block_cls = (nn.remat(SPADEResnetBlock, static_argnums=(3,))
+                     if self.remat else SPADEResnetBlock)
+        blk = lambda fi, fo, name: block_cls(fi, fo, self.norm_G,
+                                             dtype=self.dtype, name=name)
+        x = blk(16 * nf, 16 * nf, "head_0")(x, seg, train)
         x = upsample_nearest(x)
-        x = blk(16 * nf, 16 * nf, "G_middle_0")(x, seg, train=train)
+        x = blk(16 * nf, 16 * nf, "G_middle_0")(x, seg, train)
         if self.num_upsampling_layers in ("more", "most"):
             x = upsample_nearest(x)
-        x = blk(16 * nf, 16 * nf, "G_middle_1")(x, seg, train=train)
+        x = blk(16 * nf, 16 * nf, "G_middle_1")(x, seg, train)
         x = upsample_nearest(x)
-        x = blk(16 * nf, 8 * nf, "up_0")(x, seg, train=train)
+        x = blk(16 * nf, 8 * nf, "up_0")(x, seg, train)
         x = upsample_nearest(x)
-        x = blk(8 * nf, 4 * nf, "up_1")(x, seg, train=train)
+        x = blk(8 * nf, 4 * nf, "up_1")(x, seg, train)
         x = upsample_nearest(x)
-        x = blk(4 * nf, 2 * nf, "up_2")(x, seg, train=train)
+        x = blk(4 * nf, 2 * nf, "up_2")(x, seg, train)
         x = upsample_nearest(x)
-        x = blk(2 * nf, 1 * nf, "up_3")(x, seg, train=train)
+        x = blk(2 * nf, 1 * nf, "up_3")(x, seg, train)
         if self.num_upsampling_layers == "most":
             x = upsample_nearest(x)
-            x = blk(nf, nf // 2, "up_4")(x, seg, train=train)
+            x = blk(nf, nf // 2, "up_4")(x, seg, train)
 
         x = nn.Conv(3, (3, 3), padding="SAME", name="conv_img")(_leaky(x))
         return jnp.tanh(x)

@@ -35,6 +35,8 @@ VGG_LOSS_WEIGHTS = (1.0 / 32, 1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0)
 class VGG19Features(nn.Module):
     """Returns [relu1_1, relu2_1, relu3_1, relu4_1, relu5_1] (NHWC)."""
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
         taps = []
@@ -43,7 +45,7 @@ class VGG19Features(nn.Module):
             if stage > 0:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             for c in range(n_convs):
-                x = nn.Conv(width, (3, 3), padding="SAME",
+                x = nn.Conv(width, (3, 3), padding="SAME", dtype=self.dtype,
                             name=f"conv{conv_idx}")(x)
                 x = nn.relu(x)
                 if c == 0:
@@ -78,9 +80,9 @@ def load_vgg_params(weights_dir: str, rng_seed: int = 42,
 class VGGLoss:
     """Weighted multi-layer L1 perceptual loss (spade loss.py:102-117)."""
 
-    def __init__(self, params):
+    def __init__(self, params, dtype=jnp.float32):
         self.params = params
-        self.model = VGG19Features()
+        self.model = VGG19Features(dtype=dtype)
 
     def __call__(self, x, y):
         fx = self.model.apply({"params": self.params}, x)

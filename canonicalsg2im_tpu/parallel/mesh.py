@@ -32,12 +32,29 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Place every array of a Batch/pytree with its leading dim on 'data'."""
+def shard_batch(batch, mesh: Mesh, *, shard_graph: bool = False):
+    """Place every array of a Batch/pytree with its leading dim on 'data'.
+
+    With ``shard_graph=True`` the triplet axis is additionally sharded over
+    the 'model' mesh axis — the graph analogue of sequence parallelism for
+    packed scenes whose O(O^2) dense triplets exceed one chip (SURVEY.md
+    §5.7). The GCN's gathers/MLPs then run edge-parallel and XLA inserts the
+    psum over object segments on its own.
+    """
     s = batch_sharding(mesh)
-    return jax.tree.map(
-        lambda x: jax.device_put(x, s) if x is not None else None, batch
-    )
+    if not shard_graph or not hasattr(batch, "triplets"):
+        return jax.tree.map(
+            lambda x: jax.device_put(x, s) if x is not None else None, batch)
+    edge = NamedSharding(mesh, P("data", "model"))
+    moved = {}
+    for name, x in batch._asdict().items():
+        if x is None:
+            moved[name] = None
+        elif name in ("triplets", "triplet_type"):
+            moved[name] = jax.device_put(x, edge)
+        else:
+            moved[name] = jax.device_put(x, s)
+    return type(batch)(**moved)
 
 
 def replicate(tree, mesh: Mesh):

@@ -77,6 +77,7 @@ class StepCfg(NamedTuple):
     mask_size: int = 0
     use_gt_boxes: bool = True
     use_gt_masks: bool = True
+    compute_dtype: str = "float32"
 
 
 def step_cfg_from_config(cfg: Config) -> StepCfg:
@@ -102,6 +103,7 @@ def step_cfg_from_config(cfg: Config) -> StepCfg:
         mask_size=cfg.mask_size,
         use_gt_boxes=not cfg.skip_graph_model or cfg.isTrain,
         use_gt_masks=cfg.mask_size > 0,
+        compute_dtype=cfg.compute_dtype,
     )
 
 
@@ -138,10 +140,12 @@ def create_gan_states(cfg: Config, rng) -> GanStates:
             batch_stats=variables.get("batch_stats", {}),
             tx=optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2))
 
+    dtype = jnp.dtype(cfg.compute_dtype)
     d_img_model = MultiscaleDiscriminator(
         vocab=cfg.vocab, embedding_dim=cfg.embedding_dim,
         image_size=tuple(cfg.image_size), num_D=cfg.num_D,
-        n_layers_D=cfg.n_layers_D, ndf=cfg.ndf, norm_D=cfg.norm_D)
+        n_layers_D=cfg.n_layers_D, ndf=cfg.ndf, norm_D=cfg.norm_D,
+        dtype=dtype)
     d_img = d_state(d_img_model, (imgs, objs, boxes, masks),
                     cfg.img_learning_rate)
 
@@ -239,7 +243,8 @@ def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
             total = total + feat
 
         if not sc.no_vgg_loss:
-            vgg = VGGLoss(vgg_params)(img_pred, batch.imgs) * sc.lambda_vgg
+            vgg = VGGLoss(vgg_params, dtype=jnp.dtype(sc.compute_dtype))(
+                img_pred, batch.imgs) * sc.lambda_vgg
             losses["VGG"] = vgg
             total = total + vgg
 
@@ -400,14 +405,20 @@ def gan_train_step(states: GanStates, batch, rng, vgg_params, *, sc: StepCfg):
     return states, metrics, conv_w
 
 
-@partial(jax.jit, static_argnames=("sc", "use_gt"))
+@partial(jax.jit, static_argnames=("sc", "use_gt", "use_gt_masks"))
 def gan_eval_step(states: GanStates, batch, rng, *, sc: StepCfg,
-                  use_gt: bool = True):
-    """Inference forward (test_mode) + IoU totals — check_model's core."""
+                  use_gt: bool = True, use_gt_masks: bool | None = None):
+    """Inference forward (test_mode) + IoU totals — check_model's core.
+
+    `use_gt`/`use_gt_masks` select among the reference's four qualitative
+    sample variants (gt_box_gt_mask / gt_box_pred_mask / pred_box_gt_mask /
+    pred_box_pred_mask, scripts/train.py:243-251)."""
     from canonicalsg2im_tpu.evaluation.metrics import masked_batch_iou
 
+    if use_gt_masks is None:
+        use_gt_masks = use_gt
     boxes_gt = batch.boxes if use_gt else None
-    masks_gt = batch.masks if (use_gt and batch.masks is not None) else None
+    masks_gt = batch.masks if (use_gt_masks and batch.masks is not None) else None
     (img, boxes_pred, masks_pred), _ = _apply(
         states.g, states.g.params,
         (batch.objs, batch.triplets, batch.triplet_type),

@@ -83,6 +83,7 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
             if t >= cfg.num_iterations:
                 break
             t += 1
+            maybe_profile(cfg, t)
             rng, step_rng = jax.random.split(rng)
             batch = shard_batch(batch, mesh)
             states, metrics, conv_w = gan_train_step(
@@ -127,11 +128,39 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
                 save_checkpoint(path, states, vocab=cfg.vocab,
                                 counters={"t": t, "epoch": epoch})
                 print("Saving checkpoint to", path)
-                if img is not None:
-                    save_image_grid(np.asarray(jax.device_get(img)),
-                                    os.path.join(cfg.output_dir, "val",
-                                                 str(t), "samples.png"))
+                # the reference's four qualitative variants
+                # (scripts/train.py:243-251) on the last val batch
+                variants = {"gt_box_gt_mask": (True, True),
+                            "gt_box_pred_mask": (True, False),
+                            "pred_box_gt_mask": (False, True),
+                            "pred_box_pred_mask": (False, False)}
+                if cfg.skip_graph_model:
+                    variants = {"gt_box_gt_mask": (True, True)}
+                for name, (gb, gm) in variants.items():
+                    vi, *_ = gan_eval_step(states, vb, eval_rng, sc=sc,
+                                           use_gt=gb, use_gt_masks=gm)
+                    if vi is not None:
+                        save_image_grid(
+                            np.asarray(jax.device_get(vi)),
+                            os.path.join(cfg.output_dir, "val", str(t),
+                                         f"{name}.png"))
+                save_image_grid(np.asarray(vb.imgs),
+                                os.path.join(cfg.output_dir, "val", str(t),
+                                             "gt_img.png"))
     return states
+
+
+def maybe_profile(cfg, t, start_at: int = 10, steps: int = 3):
+    """--timing: capture a jax.profiler trace of a few steady-state steps
+    (the reference declares --timing but never uses it, scripts/args.py:74;
+    here it produces a real TensorBoard-loadable device trace)."""
+    if not cfg.timing:
+        return
+    if t == start_at:
+        jax.profiler.start_trace(os.path.join(cfg.output_dir, "profile"))
+    elif t == start_at + steps:
+        jax.profiler.stop_trace()
+        print("profiler trace ->", os.path.join(cfg.output_dir, "profile"))
 
 
 def save_image_grid(imgs, path):
@@ -187,6 +216,7 @@ def main(cfg: Config):
             if t >= cfg.num_iterations:
                 break
             t += 1
+            maybe_profile(cfg, t)
             rng, step_rng = jax.random.split(rng)
             batch = shard_batch(batch, mesh)
             state, metrics, conv_w = layout_train_step(

@@ -1,0 +1,71 @@
+"""Evaluation stack tests: IS accumulation, FID math, legacy diversity."""
+import numpy as np
+import pytest
+
+from canonicalsg2im_tpu.evaluation.fid import calculate_frechet_distance
+from canonicalsg2im_tpu.evaluation.legacy_fid import (
+    confusion_matrix,
+    get_fid,
+    kl,
+    quant,
+)
+
+
+def test_frechet_distance_zero_for_identical():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(500, 16))
+    mu, sigma = x.mean(0), np.cov(x, rowvar=False)
+    d = calculate_frechet_distance(mu, sigma, mu, sigma)
+    assert abs(d) < 1e-6
+
+
+def test_frechet_distance_mean_shift():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2000, 8))
+    mu, sigma = x.mean(0), np.cov(x, rowvar=False)
+    mu2 = mu + 3.0
+    d = calculate_frechet_distance(mu, sigma, mu2, sigma)
+    assert abs(d - 8 * 9.0) < 1.0  # ||diff||^2 = 8 * 3^2
+
+
+def test_kl_and_quant():
+    p = np.array([0.5, 0.5, 0.0])
+    q = np.array([0.25, 0.25, 0.5])
+    assert kl(p, q) > 0
+    assert abs(kl(p, p)) < 1e-12
+
+    rng = np.random.default_rng(2)
+    dist = rng.dirichlet(np.ones(5), size=40)
+    i_score, intra, inter, per_class = quant(dist, ["a", "b", "c", "d", "e"])
+    assert i_score >= 1.0
+    assert 0 <= intra <= np.log(5) + 1e-9
+    assert per_class
+
+
+def test_confusion_matrix_rows_sum_100():
+    m = confusion_matrix(3, [0, 1, 2, 0], [0, 1, 2, 1])
+    np.testing.assert_allclose(m.sum(axis=1), [100, 100, 100])
+
+
+def test_get_fid_per_class():
+    rng = np.random.default_rng(3)
+    tr = rng.normal(size=(100, 4))
+    te = tr + 2.0
+    cats = np.repeat([0, 1], 50)
+    d = get_fid(tr, te, cats, cats)
+    assert abs(d - 4 * 4.0) < 1.5
+
+
+def test_inception_score_random_net_runs():
+    from canonicalsg2im_tpu.evaluation.inception import InceptionScore
+
+    isc = InceptionScore(weights_dir="weights")
+    assert isc.pretrained is False  # no converted weights in this image
+    rng = np.random.default_rng(4)
+    imgs = rng.uniform(-1, 1, size=(4, 75, 75, 3)).astype(np.float32)
+    isc(imgs)
+    isc(imgs)
+    mean, std = isc.compute_score(splits=2)
+    assert np.isfinite(mean) and mean >= 1.0 - 1e-6
+    isc.clean()
+    assert isc.compute_score() == (0.0, 0.0)
