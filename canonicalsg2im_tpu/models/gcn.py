@@ -32,6 +32,10 @@ class GraphTripleConv(nn.Module):
     mlp_normalization: str = "none"
     pooling: str = "avg"
     return_new_p_vecs: bool = True
+    # Pooling backend: one-hot matmul puts the scatter-add on the MXU, which
+    # beats TPU's sort-based segment_sum for small buckets; the threshold is
+    # the (2T x O) one-hot footprint above which we fall back to segment_sum.
+    matmul_pool_max_elems: int = 1 << 21
 
     @nn.compact
     def __call__(self, obj_vecs, pred_vecs, edges, pred_mask, triplet_type,
@@ -74,19 +78,25 @@ class GraphTripleConv(nn.Module):
         new_o = t_out[..., H + Dp:]
 
         mask = pred_mask.astype(t_out.dtype)                        # (B, T)
-        batch_offset = (jnp.arange(B, dtype=jnp.int32) * O)[:, None]
-        seg_ids = jnp.concatenate(
-            [s_idx + batch_offset, o_idx + batch_offset], axis=1    # (B, 2T)
-        ).reshape(-1)
+        endpoints = jnp.concatenate([s_idx, o_idx], axis=1)         # (B, 2T)
         vals = jnp.concatenate(
             [new_s * mask[..., None], new_o * mask[..., None]], axis=1
-        ).reshape(B * 2 * T, H)
-        weights = jnp.concatenate([confidence * mask] * 2, axis=1).reshape(-1)
+        )                                                           # (B, 2T, H)
+        weights = jnp.concatenate([confidence * mask] * 2, axis=1)  # (B, 2T)
 
-        pooled = jax.ops.segment_sum(vals, seg_ids, num_segments=B * O)
-        counts = jax.ops.segment_sum(weights, seg_ids, num_segments=B * O)
-        pooled = pooled.reshape(B, O, H)
-        counts = counts.reshape(B, O)
+        if 2 * T * O <= self.matmul_pool_max_elems:
+            one_hot = jax.nn.one_hot(endpoints, O, dtype=vals.dtype)
+            pooled = jnp.einsum("beo,beh->boh", one_hot, vals,
+                                preferred_element_type=jnp.float32)
+            counts = jnp.einsum("beo,be->bo", one_hot, weights,
+                                preferred_element_type=jnp.float32)
+        else:
+            batch_offset = (jnp.arange(B, dtype=jnp.int32) * O)[:, None]
+            seg_ids = (endpoints + batch_offset).reshape(-1)
+            pooled = jax.ops.segment_sum(vals.reshape(B * 2 * T, H), seg_ids,
+                                         num_segments=B * O).reshape(B, O, H)
+            counts = jax.ops.segment_sum(weights.reshape(-1), seg_ids,
+                                         num_segments=B * O).reshape(B, O)
         if self.pooling == "avg":
             pooled = jnp.where(counts[..., None] > 0,
                                pooled / jnp.maximum(counts[..., None], 1e-12), 0.0)

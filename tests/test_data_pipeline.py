@@ -117,3 +117,24 @@ def test_loader_weight_feedback():
     loader.set_converse_weights(w)
     next(iter(loader))
     assert np.allclose(ds.converse_candidates_weights, 3.14)
+
+
+def test_canonical_graph_sampling_preserves_semantics():
+    """sample_graph drops converse directions / subsets of transitive edges
+    but never invents new endpoints (canonical_packed_coco.py:366-404)."""
+    from canonicalsg2im_tpu.data.canonicalize import sample_canonical_graph
+
+    vocab = build_clevr_vocab()
+    p2i = vocab["pred_name_to_idx"]
+    tri = [[0, p2i["__left of__"], 1], [1, p2i["__left of__"], 2],
+           [0, p2i["__left of__"], 2], [2, p2i["__right of__"], 0],
+           [0, p2i["__above__"], 1]]
+    rng = np.random.default_rng(0)
+    seen_sizes = set()
+    for _ in range(16):
+        out = sample_canonical_graph(tri, vocab, rng)
+        seen_sizes.add(len(out))
+        pairs = {(s, o) for s, _, o in tri}
+        for s, p, o in out:
+            assert (s, o) in pairs or (o, s) in pairs
+    assert len(seen_sizes) > 1  # actually samples different variants
