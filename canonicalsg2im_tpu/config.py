@@ -138,6 +138,7 @@ class Config:
     checkpoint_gan_name: Optional[str] = None
     checkpoint_graph_name: Optional[str] = None
     restore_checkpoint: bool = False
+    continue_on_error: bool = True
     img_deprocess: str = "decode_img"
 
     # TPU execution

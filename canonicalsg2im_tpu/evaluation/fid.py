@@ -90,16 +90,29 @@ def _load_dir_batches(path: str, batch_size: int) -> Iterable[np.ndarray]:
         yield np.stack(imgs)
 
 
+def _path_statistics(path: str, batch_size: int, weights_dir: str):
+    """Image directory -> (mu, sigma); a .npz path loads precomputed stats
+    (the reference CLI accepts either, fid_score.py:212-229)."""
+    if path.endswith(".npz"):
+        with np.load(path) as f:
+            return f["mu"], f["sigma"]
+    acc = FidActivations(weights_dir)
+    for batch in _load_dir_batches(path, batch_size):
+        acc(batch)
+    return acc.statistics()
+
+
+def save_fid_statistics(path: str, out_npz: str, batch_size: int = 50,
+                        weights_dir: str = "weights") -> None:
+    mu, sigma = _path_statistics(path, batch_size, weights_dir)
+    np.savez(out_npz, mu=mu, sigma=sigma)
+
+
 def calculate_fid_given_paths(paths, batch_size: int = 50,
                               weights_dir: str = "weights") -> float:
-    """fid_score.py:232-250 — FID between two image directories."""
-    stats = []
-    for p in paths:
-        acc = FidActivations(weights_dir)
-        for batch in _load_dir_batches(p, batch_size):
-            acc(batch)
-        stats.append(acc.statistics())
-    (m1, s1), (m2, s2) = stats
+    """fid_score.py:232-250 — FID between two image dirs / stats files."""
+    (m1, s1), (m2, s2) = (_path_statistics(p, batch_size, weights_dir)
+                          for p in paths)
     return float(calculate_frechet_distance(m1, s1, m2, s2))
 
 

@@ -10,6 +10,7 @@ Usage:
 """
 from __future__ import annotations
 
+import logging
 import os
 import time
 
@@ -85,9 +86,15 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
             t += 1
             maybe_profile(cfg, t)
             rng, step_rng = jax.random.split(rng)
-            batch = shard_batch(batch, mesh)
-            states, metrics, conv_w = gan_train_step(
-                states, batch, step_rng, vgg_params, sc=sc)
+            try:
+                batch = shard_batch(batch, mesh)
+                states, metrics, conv_w = gan_train_step(
+                    states, batch, step_rng, vgg_params, sc=sc)
+            except Exception as e:  # keep training through bad batches,
+                if not cfg.continue_on_error:  # as the reference does
+                    raise  # (scripts/train.py:440-441)
+                logging.getLogger(__name__).exception(e)
+                continue
             if cfg.learned_converse and conv_w is not None:
                 w = np.asarray(jax.device_get(conv_w))
                 train_loader.set_converse_weights(w)
@@ -104,24 +111,30 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
 
             if t % cfg.checkpoint_every == 0 or t == cfg.num_iterations:
                 rng, eval_rng = jax.random.split(rng)
-                sums = {"iou_sum": 0.0, "iou05_sum": 0.0, "iou03_sum": 0.0,
-                        "count": 0.0}
-                seen = 0
-                for vb in val_loader:
-                    vb = shard_batch(vb, mesh)
-                    img, *_rest, vmetrics = gan_eval_step(
-                        states, vb, eval_rng, sc=sc,
-                        use_gt=cfg.skip_graph_model)
-                    for k in sums:
-                        if k in vmetrics:
-                            sums[k] += float(vmetrics[k])
-                    seen += vb.objs.shape[0]
-                    if cfg.num_val_samples and seen >= cfg.num_val_samples:
-                        break
-                n = max(sums["count"], 1.0)
-                val = {"avg_iou": sums["iou_sum"] / n,
-                       "total_iou_05": sums["iou05_sum"] / n,
-                       "total_iou_03": sums["iou03_sum"] / n}
+
+                def run_val(use_gt):
+                    sums = {"iou_sum": 0.0, "iou05_sum": 0.0,
+                            "iou03_sum": 0.0, "count": 0.0}
+                    seen, img, vb = 0, None, None
+                    for vb in val_loader:
+                        vb = shard_batch(vb, mesh)
+                        img, *_rest, vmetrics = gan_eval_step(
+                            states, vb, eval_rng, sc=sc, use_gt=use_gt)
+                        for k in sums:
+                            if k in vmetrics:
+                                sums[k] += float(vmetrics[k])
+                        seen += vb.objs.shape[0]
+                        if cfg.num_val_samples and seen >= cfg.num_val_samples:
+                            break
+                    n = max(sums["count"], 1.0)
+                    return {"avg_iou": sums["iou_sum"] / n,
+                            "total_iou_05": sums["iou05_sum"] / n,
+                            "total_iou_03": sums["iou03_sum"] / n}, img, vb
+
+                # GT-layout pass then pred-layout pass (train.py:410-424)
+                gt_val, _, _ = run_val(True)
+                logger.log("gt_val/loss", gt_val, t, force=True)
+                val, img, vb = run_val(cfg.skip_graph_model)
                 print(f"Iter: {t}, VAL avg_iou: {val['avg_iou']:.4f}")
                 logger.log("val/loss", val, t, force=True)
                 path = os.path.join(cfg.output_dir, f"itr_{t}.ckpt")
