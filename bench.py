@@ -15,6 +15,8 @@ at the README's training scale (batch 16 @ 256^2, ~1 it/s for SPADE-class
 GANs): 16 images/sec. The north-star target is vs_baseline >= 10.
 
 Env overrides: BENCH_IMAGE_SIZE, BENCH_BATCH, BENCH_STEPS, BENCH_WARMUP.
+BENCH_MODE=layout benchmarks the SG->Layout stage alone (graphs/sec, the
+other BASELINE.json headline) with packed graphs.
 """
 from __future__ import annotations
 
@@ -42,7 +44,60 @@ from canonicalsg2im_tpu.train.gan import (  # noqa: E402
 BASELINE_IMAGES_PER_SEC = 16.0
 
 
+def bench_layout():
+    """SG->Layout supervised step throughput on dense packed graphs."""
+    from canonicalsg2im_tpu.data.vocab import non_meta_relation_ids
+    from canonicalsg2im_tpu.train import create_layout_state, layout_train_step
+
+    batch = int(os.environ.get("BENCH_BATCH", 64))
+    steps = int(os.environ.get("BENCH_STEPS", 20))
+    warmup = int(os.environ.get("BENCH_WARMUP", 3))
+    cfg = Config(dataset="packed_clevr_syn", batch_size=batch,
+                 num_train_samples=batch * 8, min_objects=10, max_objects=16,
+                 image_size=(64, 64), learned_converse=True,
+                 learned_transitivity=True)
+    ds = get_dataset(cfg.dataset, "train", cfg)
+    cfg.vocab = ds.vocab
+    cfg.finalize()
+    loader = BucketedLoader(ds, batch, seed=0, prefetch=2,
+                            bucket_objects=(16,), bucket_triplets=(1024,))
+    mesh = create_mesh(cfg.mesh_shape)
+    state = replicate(create_layout_state(cfg, jax.random.PRNGKey(0)), mesh)
+    non_meta = tuple(non_meta_relation_ids(cfg.vocab))
+    rng = jax.random.PRNGKey(1)
+
+    def cycle(ld):
+        while True:
+            yield from ld
+
+    it = cycle(loader)
+    for _ in range(warmup):
+        rng, k = jax.random.split(rng)
+        state, metrics, _ = layout_train_step(
+            state, shard_batch(next(it), mesh), k, non_meta_rels=non_meta,
+            learned_converse=True)
+    jax.block_until_ready(metrics["total_loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        rng, k = jax.random.split(rng)
+        state, metrics, _ = layout_train_step(
+            state, shard_batch(next(it), mesh), k, non_meta_rels=non_meta,
+            learned_converse=True)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+    graphs_per_sec = steps * batch / dt / max(len(jax.devices()), 1)
+    print(json.dumps({
+        "metric": "sg2layout_train_graphs_per_sec_per_chip",
+        "value": round(graphs_per_sec, 2),
+        "unit": "graphs/sec/chip",
+        "vs_baseline": round(graphs_per_sec / 100.0, 3),  # est. ref: 100 g/s
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "layout":
+        bench_layout()
+        return
     size = int(os.environ.get("BENCH_IMAGE_SIZE", 256))
     batch = int(os.environ.get("BENCH_BATCH", 8))
     steps = int(os.environ.get("BENCH_STEPS", 10))
@@ -65,7 +120,12 @@ def main():
     vgg_params = replicate(load_vgg_params(cfg.weights_dir)[0], mesh)
 
     rng = jax.random.PRNGKey(1)
-    it = iter(loader)
+
+    def cycle(ld):
+        while True:
+            yield from ld
+
+    it = cycle(loader)
 
     def step(states, b, k):
         return gan_train_step(states, shard_batch(b, mesh), k, vgg_params,

@@ -186,6 +186,10 @@ class MultiscaleMaskDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, objs, layout_masks, *, train: bool = True):
+        """Returns (multiscale feature lists over the flattened (B*O) slot
+        axis, real-slot mask (B*O,)). The reference drops dummy slots
+        dynamically (discriminator.py:280-297); at fixed shape they ride
+        through as zeroed inputs and the loss masks them out."""
         B, O, M, _ = layout_masks.shape
         num_objects = max(self.vocab["object_name_to_idx"].values()) + 1
         labels = objs[..., 0]
@@ -203,7 +207,7 @@ class MultiscaleMaskDiscriminator(nn.Module):
                 name=f"discriminator_{i}")(x, train=train))
             if i + 1 < self.num_D:
                 x = avg_pool_3x3_s2(x)
-        return results
+        return results, real.reshape(B * O)
 
 
 class VectorPool:

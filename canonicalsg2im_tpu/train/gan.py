@@ -185,6 +185,34 @@ def _masked_hinge_g(scores, mask):
     return -(scores * m).sum() / jnp.maximum(m.sum(), 1.0)
 
 
+def _masked_multiscale_gan_loss(feature_lists, slot_mask, target_is_real: bool,
+                                for_discriminator: bool, mode: str):
+    """GanLoss over multiscale (B*O)-leading feature lists with per-slot
+    validity weighting (fixed-shape replacement for the reference's dynamic
+    dummy dropping in the mask discriminator)."""
+    m = slot_mask
+    total = 0.0
+    for feats in feature_lists:
+        x = feats[-1]
+        if mode == "hinge":
+            if for_discriminator:
+                elem = (-jnp.minimum(x - 1.0, 0.0) if target_is_real
+                        else -jnp.minimum(-x - 1.0, 0.0))
+            else:
+                elem = -x
+        elif mode == "ls":
+            elem = (x - float(target_is_real)) ** 2
+        elif mode == "original":
+            t = float(target_is_real)
+            elem = (jnp.clip(x, 0.0, None) - x * t
+                    + jnp.log1p(jnp.exp(-jnp.abs(x))))
+        else:  # wgan
+            elem = -x if target_is_real else x
+        per_slot = elem.reshape(elem.shape[0], -1).mean(axis=1)
+        total = total + (per_slot * m).sum() / jnp.maximum(m.sum(), 1.0)
+    return total / len(feature_lists)
+
+
 def _masked_bce(scores, target: float, mask):
     m = mask.astype(scores.dtype)
     s = scores
@@ -261,25 +289,28 @@ def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
             total = total + losses["GAN_Obj"] + losses["GAN_Ac"]
 
             if states.d_mask is not None and sc.mask_size > 0 and masks_pred is not None:
-                scores_fake_m, _ = _apply(
+                (scores_fake_m, slot_real), _ = _apply(
                     states.d_mask, jax.lax.stop_gradient(states.d_mask.params),
                     (batch.objs, masks_pred), {}, train=False)
-                gan_mask = criterion(scores_fake_m, True,
-                                     for_discriminator=False)
+                gan_mask = _masked_multiscale_gan_loss(
+                    scores_fake_m, slot_real, True, False, sc.gan_mode)
                 losses["GAN_Mask"] = gan_mask * sc.w_d_img
                 total = total + losses["GAN_Mask"]
                 if not sc.no_ganFeat_loss and batch.masks is not None:
-                    scores_real_m, _ = _apply(
+                    (scores_real_m, _), _ = _apply(
                         states.d_mask,
                         jax.lax.stop_gradient(states.d_mask.params),
                         (batch.objs, batch.masks), {}, train=False)
+                    w = slot_real[:, None, None, None]
+                    denom = jnp.maximum(slot_real.sum(), 1.0) / slot_real.shape[0]
                     feat_m = 0.0
                     for i in range(len(scores_fake_m)):
                         for j in range(len(scores_fake_m[i]) - 1):
-                            feat_m = feat_m + jnp.abs(
+                            diff = jnp.abs(
                                 scores_fake_m[i][j]
-                                - jax.lax.stop_gradient(scores_real_m[i][j])
-                            ).mean() * sc.lambda_feat / len(scores_fake_m)
+                                - jax.lax.stop_gradient(scores_real_m[i][j]))
+                            feat_m = feat_m + (diff * w).mean() / denom \
+                                * sc.lambda_feat / len(scores_fake_m)
                     losses["GAN_Mask_Feat"] = feat_m
                     total = total + feat_m
 
@@ -345,14 +376,16 @@ def discriminator_losses(sc: StepCfg, states: GanStates, d_params, batch,
         total = total + obj_total
 
         if states.d_mask is not None and sc.mask_size > 0 and masks_pred is not None:
-            fake_m, new_stats["mask"] = _apply(
+            (fake_m, slot_real), new_stats["mask"] = _apply(
                 states.d_mask, d_params["mask"], (batch.objs, masks_pred),
                 {}, train=True)
-            real_m, new_stats["mask"] = _apply(
+            (real_m, _), new_stats["mask"] = _apply(
                 states.d_mask.replace(batch_stats=new_stats["mask"]),
                 d_params["mask"], (batch.objs, batch.masks), {}, train=True)
-            mask_total = (criterion(fake_m, False, for_discriminator=True) * 0.5
-                          + criterion(real_m, True, for_discriminator=True) * 0.5)
+            mask_total = (_masked_multiscale_gan_loss(
+                fake_m, slot_real, False, True, sc.gan_mode) * 0.5
+                + _masked_multiscale_gan_loss(
+                    real_m, slot_real, True, True, sc.gan_mode) * 0.5)
             losses["total_mask_loss"] = mask_total
             total = total + mask_total
 

@@ -72,19 +72,9 @@ def test_gcn_matches_naive_loop():
     assert new_obj.shape == (B, O, 5)
     assert new_p.shape == (B, T, 7)
 
-    # reproduce pooling with the naive loop using the module's own net1
-    import flax.linen as nn
-
-    t_in = np.concatenate(
-        [np.take_along_axis(obj_vecs, edges[..., :1], 1),
-         pred_vecs,
-         np.take_along_axis(obj_vecs, edges[..., 1:], 1)], axis=-1)
-    # hack: run net1 through a sub-apply
-    net1_out = model.apply(variables, t_in, method=lambda m, x: m._try_net1(x)) \
-        if hasattr(model, "_try_net1") else None
-    # simpler: recompute confidence weighting + pooling equivalence via
-    # the public call with identity nets is not possible; instead verify
-    # pooling math directly with random tensors:
+    # verify the pooling math directly against the naive loop with random
+    # message tensors (the module's MLPs are exercised by the shape checks
+    # above and the end-to-end training tests below)
     H = 12
     new_s = rng.normal(size=(B, T, H)).astype(np.float32)
     new_o = rng.normal(size=(B, T, H)).astype(np.float32)
