@@ -40,6 +40,7 @@ class MetaGeneratorModel(nn.Module):
     skip_generation: bool = False
     dtype: jnp.dtype = jnp.float32
     remat: bool = True
+    use_pallas_splat: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config) -> "MetaGeneratorModel":
@@ -56,6 +57,7 @@ class MetaGeneratorModel(nn.Module):
             skip_graph_model=cfg.skip_graph_model,
             skip_generation=cfg.skip_generation,
             dtype=jnp.dtype(cfg.compute_dtype),
+            use_pallas_splat=cfg.use_pallas_splat,
         )
 
     @nn.compact
@@ -92,6 +94,7 @@ class MetaGeneratorModel(nn.Module):
                 norm_G=self.norm_G, aspect_ratio=self.aspect_ratio,
                 use_vae=self.use_vae, z_dim=self.z_dim,
                 dtype=self.dtype, remat=self.remat,
+                use_pallas_splat=self.use_pallas_splat,
                 name="layout_to_image_model",
             )(objs, layout_boxes, layout_masks, test_mode=test_mode,
               train=train)

@@ -138,15 +138,27 @@ def num_up_layers(num_upsampling_layers: str) -> int:
 
 
 def build_seg_layout(obj_vecs, objs, layout_boxes, layout_masks, image_size,
-                     test_mode: bool):
+                     test_mode: bool, use_pallas: bool = False):
     """Object vectors -> spatial seg map, boxes or masks path
-    (generator.py:81-96 / discriminator.py:100-119)."""
+    (generator.py:81-96 / discriminator.py:100-119).
+
+    ``use_pallas`` routes the boxes path through the sparse Pallas splat
+    kernel (ops/pallas_splat.py) when the canvas tiles evenly; exact same
+    numerics, work proportional to covered area instead of O x H x W."""
     real = (objs[..., 0] != 0).astype(obj_vecs.dtype)
     if layout_masks is not None:
         return masks_to_layout(obj_vecs, layout_boxes, layout_masks,
                                image_size[0], image_size[0],
                                real_mask=real, test_mode=test_mode)
-    return boxes_to_layout(obj_vecs * real[..., None], layout_boxes,
+    masked_vecs = obj_vecs * real[..., None]
+    if use_pallas:
+        from canonicalsg2im_tpu.ops.pallas_splat import (
+            boxes_to_layout_pallas, splat_supported)
+
+        if splat_supported(image_size[0], image_size[0]):
+            return boxes_to_layout_pallas(masked_vecs, layout_boxes,
+                                          image_size[0], image_size[0])
+    return boxes_to_layout(masked_vecs, layout_boxes,
                            image_size[0], image_size[0], real_mask=real)
 
 
@@ -171,6 +183,7 @@ class SPADEGenerator(nn.Module):
     z_dim: int = 256
     dtype: jnp.dtype = jnp.float32   # conv compute dtype (bf16 on TPU)
     remat: bool = True               # rematerialize each SPADE resblock
+    use_pallas_splat: bool = False
 
     @nn.compact
     def __call__(self, objs, layout_boxes, layout_masks=None, *,
@@ -184,7 +197,8 @@ class SPADEGenerator(nn.Module):
                                        self.embedding_dim,
                                        name="attribute_embedding")(objs)
         seg = build_seg_layout(obj_vecs, objs, layout_boxes, layout_masks,
-                               self.image_size, test_mode)
+                               self.image_size, test_mode,
+                               use_pallas=self.use_pallas_splat)
 
         if self.use_vae:
             if z is None:

@@ -90,7 +90,9 @@ def _coverage_bounds(boxes, H: int, W: int):
     return jnp.stack([y_lo, y_hi, x_lo, x_hi], axis=-1)
 
 
-def _splat_fwd_impl(vecs, boxes, H: int, W: int, interpret: bool):
+def _splat_fwd_impl(vecs, boxes, H: int, W: int, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     B, O, D = vecs.shape
     cov_y, cov_x = box_coverage(boxes, H, W)          # (B,O,H), (B,O,W)
     bounds = _coverage_bounds(boxes, H, W)
@@ -124,11 +126,12 @@ def _splat_fwd_impl(vecs, boxes, H: int, W: int, interpret: bool):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def boxes_to_layout_pallas(vecs, boxes, H: int, W: int,
-                           interpret: bool = False):
+                           interpret: bool | None = None):
     """Drop-in for ops.layout.boxes_to_layout (sum pooling) as a Pallas kernel.
 
     H must be a multiple of 32 and W of 128 (canvas tiles); callers fall back
-    to the XLA einsum path otherwise.
+    to the XLA einsum path otherwise. interpret=None auto-selects interpreter
+    mode off-TPU.
     """
     return _splat_fwd_impl(vecs, boxes, H, W, interpret)
 
