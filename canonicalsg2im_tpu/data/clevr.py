@@ -100,6 +100,17 @@ class ClevrDialogDataset:
         P = len(self.vocab["pred_name_to_idx"])
         self.converse_candidates_weights = np.zeros((P, P))
 
+        if not packed:
+            # sparse CLEVR-Dialog mode keeps CLEVR's annotated directional
+            # relations as first-class predicates (clevr_dialog.py:96-98)
+            for p in ("right", "behind", "front", "left"):
+                if p not in self.vocab["pred_name_to_idx"]:
+                    self.vocab["pred_name_to_idx"][p] = len(
+                        self.vocab["pred_idx_to_name"])
+                    self.vocab["pred_idx_to_name"].append(p)
+            P = len(self.vocab["pred_name_to_idx"])
+            self.converse_candidates_weights = np.zeros((P, P))
+
         scenes_path = os.path.join(base_path, "scenes",
                                    f"CLEVR_{mode}_scenes.json")
         with open(scenes_path) as f:
@@ -141,7 +152,19 @@ class ClevrDialogDataset:
 
         centers = boxes[:, :2] + boxes[:, 2:] / 2.0
         real = np.any(boxes != -1.0, axis=-1)
-        triplets = location_triplets(boxes, centers, real, self.vocab)
+        if self.packed:
+            triplets = location_triplets(boxes, centers, real, self.vocab)
+        else:
+            # annotated directional triplets: relationships[rel][o1] lists the
+            # objects o2 with (o2, rel, o1) — clevr_dialog.py:289-297
+            triplets = []
+            p2i = self.vocab["pred_name_to_idx"]
+            for rel, per_obj in sg.get("relationships", {}).items():
+                if rel not in p2i:
+                    continue
+                for o1, others in enumerate(per_obj):
+                    for o2 in others:
+                        triplets.append([int(o2), p2i[rel], o1])
         if self.include_dummies:
             triplets += dummy_triplets(attrs.shape[0], attrs.shape[0] - 1,
                                        self.vocab)

@@ -45,7 +45,28 @@ def object_class_names(cfg, objs_row):
             for o in objs_row[:, 0]]
 
 
+def best_checkpoint(run_dir: str) -> str:
+    """Pick the checkpoint with the best val avg_iou from metrics.jsonl —
+    the counterpart of the reference's TensorBoard-event argmax selection
+    (layout_generation.py:76-85)."""
+    import json as _json
+
+    best_t, best_iou = None, -1.0
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = _json.loads(line)
+            if rec.get("tag") == "val/loss" and "avg_iou" in rec:
+                if rec["avg_iou"] > best_iou:
+                    best_iou, best_t = rec["avg_iou"], rec["step"]
+    if best_t is None:
+        raise FileNotFoundError(f"no val avg_iou records in {run_dir}")
+    print(f"Best checkpoint: itr_{best_t} (avg_iou={best_iou:.4f})")
+    return os.path.join(run_dir, f"itr_{best_t}.ckpt")
+
+
 def main(args):
+    if os.path.isdir(args.checkpoint):
+        args.checkpoint = best_checkpoint(args.checkpoint)
     run_args = os.path.join(os.path.dirname(args.checkpoint), "run_args.json")
     cfg = Config.load(run_args) if os.path.exists(run_args) else Config()
     if args.dataset:
