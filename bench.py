@@ -99,7 +99,7 @@ def main():
         bench_layout()
         return
     size = int(os.environ.get("BENCH_IMAGE_SIZE", 256))
-    batch = int(os.environ.get("BENCH_BATCH", 8))
+    batch = int(os.environ.get("BENCH_BATCH", 16))
     steps = int(os.environ.get("BENCH_STEPS", 10))
     warmup = int(os.environ.get("BENCH_WARMUP", 2))
 

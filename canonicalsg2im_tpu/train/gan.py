@@ -221,8 +221,18 @@ def _masked_bce(scores, target: float, mask):
 
 
 def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
-                     vgg_params):
-    """compute_generator_loss (pix2pix_model.py:65-143)."""
+                     vgg_params, d_params=None):
+    """compute_generator_loss (pix2pix_model.py:65-143).
+
+    ``d_params`` supplies the discriminator parameters to score against
+    (stop-gradded here); defaults to the live state params. Passing the same
+    tensors that the discriminator pass differentiates lets XLA CSE the
+    duplicated D forwards when both passes live in one jit.
+    """
+    if d_params is None:
+        d_params = {"img": states.d_img.params if states.d_img else None,
+                    "obj": states.d_obj.params if states.d_obj else None,
+                    "mask": states.d_mask.params if states.d_mask else None}
     criterion = GanLoss(sc.gan_mode)
     boxes_gt = batch.boxes if sc.use_gt_boxes else None
     masks_gt = batch.masks if (sc.use_gt_masks and batch.masks is not None) else None
@@ -249,18 +259,18 @@ def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
 
     if not sc.skip_generation:
         d_boxes = batch.boxes
-        pred_fake, _ = _apply(states.d_img, jax.lax.stop_gradient(states.d_img.params),
+        pred_fake, _ = _apply(states.d_img, jax.lax.stop_gradient(d_params["img"]),
                               (img_pred, batch.objs, d_boxes),
-                              {"layout_masks": batch.masks}, train=False)
+                              {"layout_masks": batch.masks}, train=True)
         gan_img = criterion(pred_fake, True, for_discriminator=False)
         losses["GAN_Img"] = gan_img * sc.w_d_img
         total = total + losses["GAN_Img"]
 
         if not sc.no_ganFeat_loss:
             pred_real, _ = _apply(states.d_img,
-                                  jax.lax.stop_gradient(states.d_img.params),
+                                  jax.lax.stop_gradient(d_params["img"]),
                                   (batch.imgs, batch.objs, d_boxes),
-                                  {"layout_masks": batch.masks}, train=False)
+                                  {"layout_masks": batch.masks}, train=True)
             feat = 0.0
             for i in range(sc.num_D):
                 for j in range(len(pred_fake[i]) - 1):
@@ -278,8 +288,8 @@ def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
 
         if not sc.use_img_disc and states.d_obj is not None:
             (scores_fake, real, ac_loss, _), _ = _apply(
-                states.d_obj, jax.lax.stop_gradient(states.d_obj.params),
-                (img_pred, batch.objs, d_boxes), {}, train=False)
+                states.d_obj, jax.lax.stop_gradient(d_params["obj"]),
+                (img_pred, batch.objs, d_boxes), {}, train=True)
             if sc.gan_mode == "hinge":
                 g_obj = _masked_hinge_g(scores_fake, real)
             else:
@@ -290,8 +300,8 @@ def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
 
             if states.d_mask is not None and sc.mask_size > 0 and masks_pred is not None:
                 (scores_fake_m, slot_real), _ = _apply(
-                    states.d_mask, jax.lax.stop_gradient(states.d_mask.params),
-                    (batch.objs, masks_pred), {}, train=False)
+                    states.d_mask, jax.lax.stop_gradient(d_params["mask"]),
+                    (batch.objs, masks_pred), {}, train=True)
                 gan_mask = _masked_multiscale_gan_loss(
                     scores_fake_m, slot_real, True, False, sc.gan_mode)
                 losses["GAN_Mask"] = gan_mask * sc.w_d_img
@@ -299,8 +309,8 @@ def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
                 if not sc.no_ganFeat_loss and batch.masks is not None:
                     (scores_real_m, _), _ = _apply(
                         states.d_mask,
-                        jax.lax.stop_gradient(states.d_mask.params),
-                        (batch.objs, batch.masks), {}, train=False)
+                        jax.lax.stop_gradient(d_params["mask"]),
+                        (batch.objs, batch.masks), {}, train=True)
                     w = slot_real[:, None, None, None]
                     denom = jnp.maximum(slot_real.sum(), 1.0) / slot_real.shape[0]
                     feat_m = 0.0
@@ -341,13 +351,17 @@ def discriminator_losses(sc: StepCfg, states: GanStates, d_params, batch,
         jax.lax.stop_gradient(o) if o is not None else None for o in outputs]
     d_boxes = batch.boxes
 
+    # Both D calls seed their spectral power iteration from the SAME (step-
+    # start) stats rather than threading fake->real: flax recomputes the
+    # iteration every forward anyway, and identical seeding makes these
+    # forwards CSE-able against the generator-loss D calls in the fused step.
     losses = {}
     new_stats = {}
-    pred_fake, new_stats["img"] = _apply(
+    pred_fake, _ = _apply(
         states.d_img, d_params["img"], (img_pred, batch.objs, d_boxes),
         {"layout_masks": batch.masks}, train=True)
     gt_real, new_stats["img"] = _apply(
-        states.d_img.replace(batch_stats=new_stats["img"]), d_params["img"],
+        states.d_img, d_params["img"],
         (batch.imgs, batch.objs, d_boxes),
         {"layout_masks": batch.masks}, train=True)
     losses["D_img_fake"] = criterion(pred_fake, False, for_discriminator=True)
@@ -360,12 +374,12 @@ def discriminator_losses(sc: StepCfg, states: GanStates, d_params, batch,
             criterion(gt_real, False, for_discriminator=True) * 0.25)
 
     if not sc.use_img_disc and states.d_obj is not None:
+        (scores_fake, _, ac_fake, _), _ = _apply(
+            states.d_obj, d_params["obj"], (img_pred, batch.objs, d_boxes),
+            {}, train=True)
         (scores_real, real, ac_real, _), new_stats["obj"] = _apply(
             states.d_obj, d_params["obj"], (batch.imgs, batch.objs, d_boxes),
             {}, train=True)
-        (scores_fake, _, ac_fake, _), new_stats["obj"] = _apply(
-            states.d_obj.replace(batch_stats=new_stats["obj"]),
-            d_params["obj"], (img_pred, batch.objs, d_boxes), {}, train=True)
         d_obj = (_masked_bce(scores_real, 1.0, real)
                  + _masked_bce(scores_fake, 0.0, real)) * 0.5
         losses["D_obj"] = d_obj
@@ -376,12 +390,12 @@ def discriminator_losses(sc: StepCfg, states: GanStates, d_params, batch,
         total = total + obj_total
 
         if states.d_mask is not None and sc.mask_size > 0 and masks_pred is not None:
-            (fake_m, slot_real), new_stats["mask"] = _apply(
+            (fake_m, slot_real), _ = _apply(
                 states.d_mask, d_params["mask"], (batch.objs, masks_pred),
                 {}, train=True)
             (real_m, _), new_stats["mask"] = _apply(
-                states.d_mask.replace(batch_stats=new_stats["mask"]),
-                d_params["mask"], (batch.objs, batch.masks), {}, train=True)
+                states.d_mask, d_params["mask"], (batch.objs, batch.masks),
+                {}, train=True)
             mask_total = (_masked_multiscale_gan_loss(
                 fake_m, slot_real, False, True, sc.gan_mode) * 0.5
                 + _masked_multiscale_gan_loss(
@@ -396,40 +410,59 @@ def discriminator_losses(sc: StepCfg, states: GanStates, d_params, batch,
 
 @partial(jax.jit, static_argnames=("sc",), donate_argnames=("states",))
 def gan_train_step(states: GanStates, batch, rng, vgg_params, *, sc: StepCfg):
-    """One full G + REINFORCE + D update. Returns (states, metrics, conv_w)."""
+    """One full G + REINFORCE + D update. Returns (states, metrics, conv_w).
+
+    Generator and discriminator losses are combined in a SINGLE
+    value_and_grad over the disjoint {g, img-D, obj-D, mask-D} parameter
+    groups: stop_gradients keep the update semantics identical to the
+    reference's five separate backward passes (the G terms see frozen D
+    params, the D terms see detached fakes), while the shared primal graph
+    lets XLA CSE the duplicated discriminator forwards (D(real) for feature
+    matching vs. the D loss, D(fake) for the G hinge vs. the D loss)."""
     g_rng, _ = jax.random.split(rng)
 
-    (_, (g_losses, outputs, new_gstats)), g_grads = jax.value_and_grad(
-        lambda p: generator_losses(sc, states, p, batch, g_rng, vgg_params),
-        has_aux=True)(states.g.params)
-    g_state = states.g.apply_gradients(grads=g_grads)
-    g_state = g_state.replace(batch_stats=new_gstats)
-    states = states.replace(g=g_state)
-
-    metrics = dict(g_losses)
+    all_params = {"g": states.g.params}
     if not sc.skip_generation:
-        d_params = {"img": states.d_img.params}
+        all_params["img"] = states.d_img.params
         if states.d_obj is not None:
-            d_params["obj"] = states.d_obj.params
+            all_params["obj"] = states.d_obj.params
         if states.d_mask is not None:
-            d_params["mask"] = states.d_mask.params
+            all_params["mask"] = states.d_mask.params
 
-        (_, (d_losses, d_stats)), d_grads = jax.value_and_grad(
-            lambda p: discriminator_losses(sc, states, p, batch, outputs),
-            has_aux=True)(d_params)
-        d_img = states.d_img.apply_gradients(grads=d_grads["img"]).replace(
+    def loss_fn(p):
+        d_params = {k: p.get(k) for k in ("img", "obj", "mask")}
+        g_total, (g_losses, outputs, new_gstats) = generator_losses(
+            sc, states, p["g"], batch, g_rng, vgg_params, d_params=d_params)
+        metrics = dict(g_losses)
+        d_stats = {}
+        total = g_total
+        if not sc.skip_generation:
+            d_total, (d_losses, d_stats) = discriminator_losses(
+                sc, states, {k: v for k, v in d_params.items()
+                             if v is not None}, batch, outputs)
+            metrics.update(d_losses)
+            total = total + d_total
+        return total, (metrics, new_gstats, d_stats)
+
+    (_, (metrics, new_gstats, d_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(all_params)
+
+    g_state = states.g.apply_gradients(grads=grads["g"]).replace(
+        batch_stats=new_gstats)
+    states = states.replace(g=g_state)
+    if not sc.skip_generation:
+        d_img = states.d_img.apply_gradients(grads=grads["img"]).replace(
             batch_stats=d_stats.get("img", states.d_img.batch_stats))
         states = states.replace(d_img=d_img)
         if states.d_obj is not None:
-            d_obj = states.d_obj.apply_gradients(grads=d_grads["obj"]).replace(
+            d_obj = states.d_obj.apply_gradients(grads=grads["obj"]).replace(
                 batch_stats=d_stats.get("obj", states.d_obj.batch_stats))
             states = states.replace(d_obj=d_obj)
         if states.d_mask is not None:
             d_mask = states.d_mask.apply_gradients(
-                grads=d_grads["mask"]).replace(
+                grads=grads["mask"]).replace(
                 batch_stats=d_stats.get("mask", states.d_mask.batch_stats))
             states = states.replace(d_mask=d_mask)
-        metrics.update(d_losses)
 
     conv_w = None
     if not sc.skip_graph_model:

@@ -77,6 +77,25 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
         states, counters = restore_checkpoint(cfg.checkpoint_name, like=states)
         t, epoch = counters["t"], counters["epoch"]
 
+    def run_val(use_gt, eval_rng, max_samples):
+        sums = {"iou_sum": 0.0, "iou05_sum": 0.0,
+                "iou03_sum": 0.0, "count": 0.0}
+        seen, img, vb = 0, None, None
+        for vb in val_loader:
+            vb = shard_batch(vb, mesh)
+            img, *_rest, vmetrics = gan_eval_step(
+                states, vb, eval_rng, sc=sc, use_gt=use_gt)
+            for k in sums:
+                if k in vmetrics:
+                    sums[k] += float(vmetrics[k])
+            seen += vb.objs.shape[0]
+            if max_samples and seen >= max_samples:
+                break
+        n = max(sums["count"], 1.0)
+        return {"avg_iou": sums["iou_sum"] / n,
+                "total_iou_05": sums["iou05_sum"] / n,
+                "total_iou_03": sums["iou03_sum"] / n}, img, vb
+
     t_start, t0_steps = time.time(), t
     while t < cfg.num_iterations:
         epoch += 1
@@ -111,30 +130,11 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
 
             if t % cfg.checkpoint_every == 0 or t == cfg.num_iterations:
                 rng, eval_rng = jax.random.split(rng)
-
-                def run_val(use_gt):
-                    sums = {"iou_sum": 0.0, "iou05_sum": 0.0,
-                            "iou03_sum": 0.0, "count": 0.0}
-                    seen, img, vb = 0, None, None
-                    for vb in val_loader:
-                        vb = shard_batch(vb, mesh)
-                        img, *_rest, vmetrics = gan_eval_step(
-                            states, vb, eval_rng, sc=sc, use_gt=use_gt)
-                        for k in sums:
-                            if k in vmetrics:
-                                sums[k] += float(vmetrics[k])
-                        seen += vb.objs.shape[0]
-                        if cfg.num_val_samples and seen >= cfg.num_val_samples:
-                            break
-                    n = max(sums["count"], 1.0)
-                    return {"avg_iou": sums["iou_sum"] / n,
-                            "total_iou_05": sums["iou05_sum"] / n,
-                            "total_iou_03": sums["iou03_sum"] / n}, img, vb
-
                 # GT-layout pass then pred-layout pass (train.py:410-424)
-                gt_val, _, _ = run_val(True)
+                gt_val, _, _ = run_val(True, eval_rng, cfg.num_val_samples)
                 logger.log("gt_val/loss", gt_val, t, force=True)
-                val, img, vb = run_val(cfg.skip_graph_model)
+                val, img, vb = run_val(cfg.skip_graph_model, eval_rng,
+                                       cfg.num_val_samples)
                 print(f"Iter: {t}, VAL avg_iou: {val['avg_iou']:.4f}")
                 logger.log("val/loss", val, t, force=True)
                 path = os.path.join(cfg.output_dir, f"itr_{t}.ckpt")
@@ -156,10 +156,17 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
                         save_image_grid(
                             np.asarray(jax.device_get(vi)),
                             os.path.join(cfg.output_dir, "val", str(t),
-                                         f"{name}.png"))
+                                         f"{name}.png"), cfg.img_deprocess)
                 save_image_grid(np.asarray(vb.imgs),
                                 os.path.join(cfg.output_dir, "val", str(t),
-                                             "gt_img.png"))
+                                             "gt_img.png"), cfg.img_deprocess)
+
+            if cfg.full_test and t % cfg.full_test == 0:
+                # periodic full-val pass (reference train.py:432-438)
+                rng, eval_rng = jax.random.split(rng)
+                full, _, _ = run_val(False, eval_rng, None)
+                print(f"Iter: {t}, FULL TEST avg_iou: {full['avg_iou']:.4f}")
+                logger.log("test/loss", full, t, force=True)
     return states
 
 
@@ -176,14 +183,27 @@ def maybe_profile(cfg, t, start_at: int = 10, steps: int = 3):
         print("profiler trace ->", os.path.join(cfg.output_dir, "profile"))
 
 
-def save_image_grid(imgs, path):
-    """Dump a [-1,1] NHWC image batch as one PNG row (train.py:454-465)."""
+def deprocess(imgs, mode: str = "decode_img"):
+    """NHWC float batch -> uint8, per the reference's deprocess functions
+    (sg2im/data/utils.py:13-43): decode_img inverts (x-.5)/.5; imagenet
+    inverts the ImageNet normalization."""
+    if mode == "imagenet":
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        x = imgs * std + mean
+    else:
+        x = (imgs + 1.0) / 2.0
+    return np.clip(x * 255.0, 0, 255).astype(np.uint8)
+
+
+def save_image_grid(imgs, path, mode: str = "decode_img"):
+    """Dump an NHWC image batch as one PNG row (train.py:454-465)."""
     try:
         from PIL import Image
     except ImportError:
         return
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    arr = np.clip((imgs + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    arr = deprocess(np.asarray(imgs), mode)
     row = np.concatenate(list(arr), axis=1)
     Image.fromarray(row).save(path)
 
