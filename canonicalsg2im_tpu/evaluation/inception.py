@@ -12,7 +12,6 @@ the reference constructs it (inception.py:16).
 from __future__ import annotations
 
 import os
-from typing import List, Optional
 
 import flax.linen as nn
 import jax
@@ -166,23 +165,6 @@ class InceptionV3(nn.Module):
         pool = x.mean(axis=(1, 2))  # adaptive avg pool to 1x1
         logits = nn.Dense(1000, name="fc")(pool)
         return logits, pool
-
-
-def _torch_key_map(params, prefix=""):
-    """Map flax param paths to torchvision state-dict keys."""
-    flat = {}
-
-    def walk(tree, path):
-        for k, v in tree.items():
-            p = path + [k]
-            if isinstance(v, dict) and not ("kernel" in v or "scale" in v or
-                                            "bias" in v and len(v) <= 2):
-                walk(v, p)
-            else:
-                flat[tuple(p)] = v
-
-    walk(params, [])
-    return flat
 
 
 def load_inception_variables(weights_dir: str,

@@ -8,7 +8,7 @@ property of how the train step is jitted over the mesh, not of the model.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ the host each step to drive the data pipeline's edge sampling.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import flax.linen as nn
 import jax

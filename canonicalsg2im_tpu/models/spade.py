@@ -15,7 +15,7 @@ TPU-native notes:
 from __future__ import annotations
 
 import re
-from typing import Dict, Optional
+from typing import Dict
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,7 @@ normalization (VGGLoss applies none — loss.py:109-117).
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List
 
 import flax.linen as nn
 import jax

@@ -21,7 +21,7 @@ reproduce that: it appears in the metrics, not in the optimized total.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, NamedTuple, Optional, Sequence
+from typing import Any, NamedTuple, Optional
 
 import flax
 import jax
@@ -31,8 +31,8 @@ from flax.training import train_state
 
 from canonicalsg2im_tpu.config import Config
 from canonicalsg2im_tpu.graphs.converse import converse_log_likelihood
-from canonicalsg2im_tpu.losses.bbox import bbox_losses, mask_pred_loss, real_object_mask
-from canonicalsg2im_tpu.losses.gan import GanLoss, bce_logits
+from canonicalsg2im_tpu.losses.bbox import bbox_losses, mask_pred_loss
+from canonicalsg2im_tpu.losses.gan import GanLoss
 from canonicalsg2im_tpu.models.discriminators import (
     AcCropDiscriminator,
     MultiscaleDiscriminator,

@@ -8,7 +8,6 @@
 """
 from __future__ import annotations
 
-import os
 import subprocess
 import tempfile
 from typing import List, Optional, Sequence
