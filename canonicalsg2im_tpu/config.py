@@ -147,7 +147,7 @@ class Config:
     param_dtype: str = "float32"
     seed: int = 0
     bucket_objects: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512, 1024)
-    bucket_triplets: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+    bucket_triplets: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
     donate_state: bool = True
     use_pallas_splat: bool = False
     weights_dir: str = "weights"  # converted VGG19 / InceptionV3 arrays

@@ -110,7 +110,8 @@ class BucketedLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
                  bucket_objects: Sequence[int] = (8, 16, 32, 64, 128, 256, 512, 1024),
                  bucket_triplets: Sequence[int] = (16, 32, 64, 128, 256, 512, 1024,
-                                                   2048, 4096, 8192, 16384, 32768),
+                                                   2048, 4096, 8192, 16384,
+                                                   32768, 65536),
                  seed: int = 0, drop_last: bool = True, prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
