@@ -36,10 +36,6 @@ def _leaky(x):
     return nn.leaky_relu(x, negative_slope=0.2)
 
 
-def spectral(layer: nn.Module, enabled: bool) -> nn.Module:
-    return nn.SpectralNorm(layer) if enabled else layer
-
-
 class ParamFreeNorm(nn.Module):
     """The parameter-free half of SPADE: syncbatch/batch/instance, no affine
     (normalization.py:75-83)."""
