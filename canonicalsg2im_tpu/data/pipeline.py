@@ -112,7 +112,8 @@ class BucketedLoader:
                  bucket_triplets: Sequence[int] = (16, 32, 64, 128, 256, 512, 1024,
                                                    2048, 4096, 8192, 16384,
                                                    32768, 65536),
-                 seed: int = 0, drop_last: bool = True, prefetch: int = 2):
+                 seed: int = 0, drop_last: bool = True, prefetch: int = 2,
+                 num_workers: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -121,6 +122,11 @@ class BucketedLoader:
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # per-sample canonicalization is NumPy-heavy and releases the GIL
+        # often enough that a small thread pool overlaps it across the batch
+        # (the reference uses DataLoader worker processes instead)
+        self.num_workers = num_workers
+        self._pool = None
         self._lock = threading.Lock()
         self._pending_weights: Optional[np.ndarray] = None
 
@@ -143,7 +149,15 @@ class BucketedLoader:
             if len(idx) < self.batch_size and self.drop_last:
                 return
             self._apply_pending_weights()
-            samples = [self.dataset[int(i)] for i in idx]
+            if self.num_workers > 1 and len(idx) > 1:
+                if self._pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    self._pool = ThreadPoolExecutor(self.num_workers)
+                samples = list(self._pool.map(
+                    lambda i: self.dataset[int(i)], idx))
+            else:
+                samples = [self.dataset[int(i)] for i in idx]
             yield pad_batch(samples, padding_pred,
                             self.bucket_objects, self.bucket_triplets)
 
