@@ -108,6 +108,8 @@ def main():
         num_train_samples=max(4 * batch, 64), min_objects=3, max_objects=10,
         learned_converse=True, learned_transitivity=True,
         no_vgg_loss=False,
+        remat_generator=os.environ.get("BENCH_REMAT", "1") != "0",
+        use_pallas_splat=os.environ.get("BENCH_PALLAS_SPLAT", "0") == "1",
     )
     ds = get_dataset(cfg.dataset, "train", cfg)
     cfg.vocab = ds.vocab

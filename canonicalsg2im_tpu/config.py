@@ -150,6 +150,7 @@ class Config:
     bucket_triplets: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
     donate_state: bool = True
     use_pallas_splat: bool = False
+    remat_generator: bool = True
     weights_dir: str = "weights"  # converted VGG19 / InceptionV3 arrays
 
     # populated at runtime, not via CLI

@@ -58,6 +58,7 @@ class MetaGeneratorModel(nn.Module):
             skip_generation=cfg.skip_generation,
             dtype=jnp.dtype(cfg.compute_dtype),
             use_pallas_splat=cfg.use_pallas_splat,
+            remat=cfg.remat_generator,
         )
 
     @nn.compact
