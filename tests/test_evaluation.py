@@ -69,3 +69,19 @@ def test_inception_score_random_net_runs():
     assert np.isfinite(mean) and mean >= 1.0 - 1e-6
     isc.clean()
     assert isc.compute_score() == (0.0, 0.0)
+
+
+def test_inception_architecture_matches_torchvision_param_count():
+    """23.83M params (torchvision inception_v3 minus aux head) and a 2048-d
+    pool — guarantees converted weights drop in cleanly."""
+    import jax
+    import jax.numpy as jnp
+
+    from canonicalsg2im_tpu.evaluation.inception import InceptionV3
+
+    m = InceptionV3()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+    assert abs(n - 23_834_568) < 60_000, n
+    logits, pool = m.apply(v, jnp.zeros((1, 299, 299, 3)))
+    assert logits.shape == (1, 1000) and pool.shape == (1, 2048)
