@@ -15,9 +15,11 @@ import numpy as np
 
 from canonicalsg2im_tpu.graphs import (
     ORIGINAL_EDGE,
+    SYMMETRIC_EDGE,
     TRANSITIVE_EDGE,
     get_current_and_transitive_triplets,
     get_minimal_and_transitive_triplets,
+    get_symmetric_triplets,
     sample_converse_triplets,
     triplets_to_minimal,
 )
@@ -141,6 +143,7 @@ def augment_triplets(
     vocab: dict,
     learned_converse: bool = False,
     learned_transitivity: bool = False,
+    learned_symmetry: bool = False,
     converse_weights: Optional[np.ndarray] = None,
     rng: np.random.Generator | None = None,
 ):
@@ -178,6 +181,19 @@ def augment_triplets(
                 conv_counts, rng=rng)
             new_triplets.extend([list(map(int, t)) for t in converse])
 
+    # symmetric-edge augmentation (PackedSynCLEVR add_learnt_triplets,
+    # packed_clevr_dialog.py:744-747): reversed copies tagged SYMMETRIC_EDGE.
+    # Note the GCN's soft confidence zeroes this tag's messages unless a
+    # symmetry weight is learned — faithfully vestigial, like the reference.
+    all_symmetric: list = []
+    if learned_symmetry and new_triplets:
+        arr = np.asarray(new_triplets, dtype=np.int64)
+        for rel in non_meta:
+            rel_triplets = arr[arr[:, 1] == rel]
+            if len(rel_triplets):
+                all_symmetric.extend(
+                    np.asarray(get_symmetric_triplets(rel_triplets)).tolist())
+
     all_transitive: list = []
     if learned_transitivity and new_triplets:
         arr = np.asarray(new_triplets, dtype=np.int64)
@@ -196,6 +212,9 @@ def augment_triplets(
     else:
         out = np.zeros((0, 3), dtype=np.int64)
     triplet_type = [ORIGINAL_EDGE] * len(out)
+    if all_symmetric:
+        out = np.concatenate([out, np.asarray(all_symmetric, dtype=np.int64)], axis=0)
+        triplet_type += [SYMMETRIC_EDGE] * len(all_symmetric)
     if all_transitive:
         out = np.concatenate([out, np.asarray(all_transitive, dtype=np.int64)], axis=0)
         triplet_type += [TRANSITIVE_EDGE] * len(all_transitive)

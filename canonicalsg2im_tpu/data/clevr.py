@@ -85,7 +85,8 @@ class ClevrDialogDataset:
                  image_size=(64, 64), mask_size: int = 0,
                  min_objects: int = 0, max_objects: int = 1000,
                  include_dummies: bool = False, learned_converse: bool = False,
-                 learned_transitivity: bool = False, dense_scenes: bool = False,
+                 learned_transitivity: bool = False, learned_symmetry: bool = False,
+                 dense_scenes: bool = False,
                  max_samples=None):
         self.vocab = build_clevr_vocab()
         self.image_dir = os.path.join(base_path, "images")
@@ -94,6 +95,7 @@ class ClevrDialogDataset:
         self.include_dummies = include_dummies
         self.learned_converse = learned_converse
         self.learned_transitivity = learned_transitivity
+        self.learned_symmetry = learned_symmetry
         self.max_samples = max_samples
         self.mode = mode
         self.packed = packed
@@ -171,6 +173,7 @@ class ClevrDialogDataset:
         triplets, conv_counts, triplet_type = augment_triplets(
             triplets, self.vocab, learned_converse=self.learned_converse,
             learned_transitivity=self.learned_transitivity,
+            learned_symmetry=self.learned_symmetry,
             converse_weights=self.converse_candidates_weights, rng=rng)
 
         return SceneGraphSample(

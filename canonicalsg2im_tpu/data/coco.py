@@ -70,7 +70,8 @@ class CocoSceneGraphDataset:
                  max_objects: int = 8, include_other: bool = False,
                  instance_whitelist=None, stuff_whitelist=None,
                  include_dummies: bool = False, learned_converse: bool = False,
-                 learned_transitivity: bool = False, use_converse: bool = False,
+                 learned_transitivity: bool = False, learned_symmetry: bool = False,
+                 use_converse: bool = False,
                  include_relationships: bool = True, max_samples=None,
                  canonical_sampling: bool = False, seed: int = 0):
         self.image_dir = image_dir
@@ -81,6 +82,7 @@ class CocoSceneGraphDataset:
         self.include_dummies = include_dummies
         self.learned_converse = learned_converse
         self.learned_transitivity = learned_transitivity
+        self.learned_symmetry = learned_symmetry
         self.use_converse = use_converse
         self.include_relationships = include_relationships
         self.max_samples = max_samples
@@ -269,6 +271,7 @@ class CocoSceneGraphDataset:
         triplets, conv_counts, triplet_type = augment_triplets(
             triplets, self.vocab, learned_converse=self.learned_converse,
             learned_transitivity=self.learned_transitivity,
+            learned_symmetry=self.learned_symmetry,
             converse_weights=self.converse_candidates_weights, rng=rng)
 
         return SceneGraphSample(

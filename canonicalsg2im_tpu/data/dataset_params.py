@@ -15,6 +15,7 @@ def get_dataset(name: str, partition: str, cfg: Config):
         include_dummies=cfg.include_dummies,
         learned_converse=cfg.learned_converse,
         learned_transitivity=cfg.learned_transitivity,
+        learned_symmetry=cfg.learned_symmetry,
         image_size=cfg.image_size,
         mask_size=cfg.mask_size,
     )

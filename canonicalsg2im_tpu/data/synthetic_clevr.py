@@ -38,7 +38,8 @@ class SyntheticClevrDataset:
     def __init__(self, num_samples: int = 10_000, *, min_objects: int = 3,
                  max_objects: int = 10, image_size=(64, 64), mask_size: int = 0,
                  include_dummies: bool = False, learned_converse: bool = False,
-                 learned_transitivity: bool = False, render_images: bool = True,
+                 learned_transitivity: bool = False, learned_symmetry: bool = False,
+                 render_images: bool = True,
                  seed: int = 0, mode: str = "train"):
         self.vocab = build_clevr_vocab()
         self.num_samples = num_samples
@@ -49,6 +50,7 @@ class SyntheticClevrDataset:
         self.include_dummies = include_dummies
         self.learned_converse = learned_converse
         self.learned_transitivity = learned_transitivity
+        self.learned_symmetry = learned_symmetry
         self.render_images = render_images
         self.seed = seed + (0 if mode == "train" else 1_000_003)
         P = len(self.vocab["pred_name_to_idx"])
@@ -107,6 +109,7 @@ class SyntheticClevrDataset:
             triplets, self.vocab,
             learned_converse=self.learned_converse,
             learned_transitivity=self.learned_transitivity,
+            learned_symmetry=self.learned_symmetry,
             converse_weights=self.converse_candidates_weights,
             rng=rng,
         )

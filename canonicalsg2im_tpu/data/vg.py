@@ -34,7 +34,8 @@ class VGSceneGraphDataset:
                  use_orphaned_objects: bool = True,
                  include_relationships: bool = True,
                  include_dummies: bool = False, learned_converse: bool = False,
-                 learned_transitivity: bool = False, max_samples=None,
+                 learned_transitivity: bool = False, learned_symmetry: bool = False,
+                 max_samples=None,
                  seed: int = 0):
         import h5py
 
@@ -48,6 +49,7 @@ class VGSceneGraphDataset:
         self.include_dummies = include_dummies
         self.learned_converse = learned_converse
         self.learned_transitivity = learned_transitivity
+        self.learned_symmetry = learned_symmetry
         self.max_samples = max_samples
         self.seed = seed
 
@@ -142,6 +144,7 @@ class VGSceneGraphDataset:
         triplets, conv_counts, triplet_type = augment_triplets(
             triplets, self.vocab, learned_converse=self.learned_converse,
             learned_transitivity=self.learned_transitivity,
+            learned_symmetry=self.learned_symmetry,
             converse_weights=self.converse_candidates_weights, rng=rng)
 
         return SceneGraphSample(

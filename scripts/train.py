@@ -77,10 +77,20 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
         states, counters = restore_checkpoint(cfg.checkpoint_name, like=states)
         t, epoch = counters["t"], counters["epoch"]
 
+    # Inception Score accumulated over generated val images each checkpoint
+    # (reference check_model, train.py:198,266-268)
+    inception = None
+    if not cfg.skip_generation:
+        from canonicalsg2im_tpu.evaluation.inception import InceptionScore
+
+        inception = InceptionScore(cfg.weights_dir)
+
     def run_val(use_gt, eval_rng, max_samples):
         sums = {"iou_sum": 0.0, "iou05_sum": 0.0,
                 "iou03_sum": 0.0, "count": 0.0}
         seen, img, vb = 0, None, None
+        if inception is not None:
+            inception.clean()
         for vb in val_loader:
             vb = shard_batch(vb, mesh)
             img, *_rest, vmetrics = gan_eval_step(
@@ -88,13 +98,19 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
             for k in sums:
                 if k in vmetrics:
                     sums[k] += float(vmetrics[k])
+            if inception is not None and img is not None:
+                inception(np.asarray(jax.device_get(img)))
             seen += vb.objs.shape[0]
             if max_samples and seen >= max_samples:
                 break
         n = max(sums["count"], 1.0)
-        return {"avg_iou": sums["iou_sum"] / n,
-                "total_iou_05": sums["iou05_sum"] / n,
-                "total_iou_03": sums["iou03_sum"] / n}, img, vb
+        out = {"avg_iou": sums["iou_sum"] / n,
+               "total_iou_05": sums["iou05_sum"] / n,
+               "total_iou_03": sums["iou03_sum"] / n}
+        if inception is not None:
+            mean, std = inception.compute_score(splits=5)
+            out["inception_mean"], out["inception_std"] = mean, std
+        return out, img, vb
 
     t_start, t0_steps = time.time(), t
     while t < cfg.num_iterations:
@@ -135,7 +151,9 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
                 logger.log("gt_val/loss", gt_val, t, force=True)
                 val, img, vb = run_val(cfg.skip_graph_model, eval_rng,
                                        cfg.num_val_samples)
-                print(f"Iter: {t}, VAL avg_iou: {val['avg_iou']:.4f}")
+                print(f"Iter: {t}, VAL avg_iou: {val['avg_iou']:.4f}"
+                      + (f" IS: {val['inception_mean']:.3f}"
+                         if "inception_mean" in val else ""))
                 logger.log("val/loss", val, t, force=True)
                 path = os.path.join(cfg.output_dir, f"itr_{t}.ckpt")
                 save_checkpoint(path, states, vocab=cfg.vocab,
