@@ -24,25 +24,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 from canonicalsg2im_tpu.ops.layout import TILE, box_coverage
 
-TH = 32   # tile height (sublane-friendly)
+TH = 128  # tile height (128-aligned so lane-dim slices are provably aligned)
 TW = 128  # tile width (lane width)
+TD = 32   # feature chunk per grid step (bounds the VMEM output block)
 
 
 def _kernel(bounds_ref, vecs_ref, cov_y_ref, cov_x_ref, out_ref):
-    """One (b, th, tw) tile: accumulate sum_o vec[o] * covY[o] ⊗ covX[o].
+    """One (b, th, tw, td) tile: accumulate sum_o vec[o] * covY[o] ⊗ covX[o].
 
     bounds_ref: scalar-prefetch (B, O, 4) int32 [y_lo, y_hi, x_lo, x_hi] pixel
       support of each object's coverage.
-    vecs_ref:  (O, D) VMEM
-    cov_y_ref: (O, TH) VMEM (this tile's rows)
-    cov_x_ref: (O, TW) VMEM (this tile's cols)
-    out_ref:   (TH, TW, D) VMEM
+    vecs_ref:  (O, TD) VMEM (this grid step's feature chunk)
+    cov_y_ref: (O, H) VMEM (full rows; tile slice taken at 128-aligned offset)
+    cov_x_ref: (O, W) VMEM
+    out_ref:   (TH, TW, TD) VMEM
     """
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
-    y_start = ti * TH
-    x_start = tj * TW
+    y_start = pl.multiple_of(ti * TH, TH)
+    x_start = pl.multiple_of(tj * TW, TW)
     O = vecs_ref.shape[0]
 
     out_ref[...] = jnp.zeros_like(out_ref)
@@ -53,14 +54,14 @@ def _kernel(bounds_ref, vecs_ref, cov_y_ref, cov_x_ref, out_ref):
         x_lo = bounds_ref[b, o, 2]
         x_hi = bounds_ref[b, o, 3]
         overlaps = jnp.logical_and(
-            jnp.logical_and(y_lo < y_start + TH, y_hi > y_start),
-            jnp.logical_and(x_lo < x_start + TW, x_hi > x_start))
+            jnp.logical_and(y_lo < ti * TH + TH, y_hi > ti * TH),
+            jnp.logical_and(x_lo < tj * TW + TW, x_hi > tj * TW))
 
         @pl.when(overlaps)
         def _():
-            cy = cov_y_ref[o, :]                       # (TH,)
-            cx = cov_x_ref[o, :]                       # (TW,)
-            v = vecs_ref[o, :]                         # (D,)
+            cy = cov_y_ref[o, pl.ds(y_start, TH)]      # (TH,)
+            cx = cov_x_ref[o, pl.ds(x_start, TW)]      # (TW,)
+            v = vecs_ref[o, :]                         # (TD,)
             patch = cy[:, None] * cx[None, :]          # (TH, TW)
             out_ref[...] += patch[:, :, None] * v[None, None, :]
 
@@ -97,18 +98,27 @@ def _splat_fwd_impl(vecs, boxes, H: int, W: int, interpret):
     cov_y, cov_x = box_coverage(boxes, H, W)          # (B,O,H), (B,O,W)
     bounds = _coverage_bounds(boxes, H, W)
 
+    td = min(TD, D)
+    if D % td:
+        pad_d = td - D % td
+        vecs = jnp.pad(vecs, ((0, 0), (0, 0), (0, pad_d)))
+    Dp = vecs.shape[-1]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H // TH, W // TW),
+        grid=(B, H // TH, W // TW, Dp // td),
         in_specs=[
-            pl.BlockSpec((1, O, D), lambda b, i, j, _: (b, 0, 0),
+            pl.BlockSpec((1, O, td), lambda b, i, j, d, _: (b, 0, d),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, O, TH), lambda b, i, j, _: (b, 0, i),
+            # full coverage rows; the kernel slices its tile at a provably
+            # 128-aligned offset (Mosaic lane constraint)
+            pl.BlockSpec((1, O, H), lambda b, i, j, d, _: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, O, TW), lambda b, i, j, _: (b, 0, j),
+            pl.BlockSpec((1, O, W), lambda b, i, j, d, _: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TH, TW, D), lambda b, i, j, _: (b, i, j, 0),
+        out_specs=pl.BlockSpec((1, TH, TW, td),
+                               lambda b, i, j, d, _: (b, i, j, d),
                                memory_space=pltpu.VMEM),
     )
 
@@ -116,12 +126,13 @@ def _splat_fwd_impl(vecs, boxes, H: int, W: int, interpret):
         _kernel(bounds_ref, vecs_ref.at[0], cy_ref.at[0], cx_ref.at[0],
                 out_ref.at[0])
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, W, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Dp), jnp.float32),
         interpret=interpret,
     )(bounds, vecs.astype(jnp.float32), cov_y, cov_x)
+    return out[..., :D]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -129,9 +140,9 @@ def boxes_to_layout_pallas(vecs, boxes, H: int, W: int,
                            interpret: bool | None = None):
     """Drop-in for ops.layout.boxes_to_layout (sum pooling) as a Pallas kernel.
 
-    H must be a multiple of 32 and W of 128 (canvas tiles); callers fall back
-    to the XLA einsum path otherwise. interpret=None auto-selects interpreter
-    mode off-TPU.
+    H and W must be multiples of 128 (canvas tiles); callers fall back to the
+    XLA einsum path otherwise. interpret=None auto-selects interpreter mode
+    off-TPU.
     """
     return _splat_fwd_impl(vecs, boxes, H, W, interpret)
 

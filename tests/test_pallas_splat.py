@@ -22,7 +22,7 @@ def _rand(rng, B, O, D):
 @pytest.mark.parametrize("seed", range(2))
 def test_pallas_matches_einsum(seed):
     rng = np.random.default_rng(seed)
-    B, O, D, H, W = 2, 6, 8, 64, 128
+    B, O, D, H, W = 2, 6, 8, 128, 128
     assert splat_supported(H, W)
     vecs, boxes = _rand(rng, B, O, D)
     # include a padding box
@@ -34,7 +34,7 @@ def test_pallas_matches_einsum(seed):
 
 def test_pallas_custom_vjp_matches_einsum_grads():
     rng = np.random.default_rng(3)
-    B, O, D, H, W = 1, 4, 4, 32, 128
+    B, O, D, H, W = 1, 4, 4, 128, 128
     vecs, boxes = _rand(rng, B, O, D)
     g = rng.normal(size=(B, H, W, D)).astype(np.float32)
 
