@@ -26,7 +26,7 @@ from canonicalsg2im_tpu.ops.layout import TILE, box_coverage
 
 TH = 128  # tile height (128-aligned so lane-dim slices are provably aligned)
 TW = 128  # tile width (lane width)
-TD = 32   # feature chunk per grid step (bounds the VMEM output block)
+TD = 64   # max feature width per pallas_call (bounds the VMEM output block)
 
 
 def _kernel(bounds_ref, vecs_ref, cov_y_ref, cov_x_ref, out_ref):
@@ -34,7 +34,7 @@ def _kernel(bounds_ref, vecs_ref, cov_y_ref, cov_x_ref, out_ref):
 
     bounds_ref: scalar-prefetch (B, O, 4) int32 [y_lo, y_hi, x_lo, x_hi] pixel
       support of each object's coverage.
-    vecs_ref:  (O, TD) VMEM (this grid step's feature chunk)
+    vecs_ref:  (O, Dc) VMEM (this call's feature chunk, full chunk dim)
     cov_y_ref: (O, H) VMEM (full rows; tile slice taken at 128-aligned offset)
     cov_x_ref: (O, W) VMEM
     out_ref:   (TH, TW, TD) VMEM
@@ -98,41 +98,42 @@ def _splat_fwd_impl(vecs, boxes, H: int, W: int, interpret):
     cov_y, cov_x = box_coverage(boxes, H, W)          # (B,O,H), (B,O,W)
     bounds = _coverage_bounds(boxes, H, W)
 
-    td = min(TD, D)
-    if D % td:
-        pad_d = td - D % td
-        vecs = jnp.pad(vecs, ((0, 0), (0, 0), (0, pad_d)))
-    Dp = vecs.shape[-1]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, H // TH, W // TW, Dp // td),
-        in_specs=[
-            pl.BlockSpec((1, O, td), lambda b, i, j, d, _: (b, 0, d),
-                         memory_space=pltpu.VMEM),
-            # full coverage rows; the kernel slices its tile at a provably
-            # 128-aligned offset (Mosaic lane constraint)
-            pl.BlockSpec((1, O, H), lambda b, i, j, d, _: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, O, W), lambda b, i, j, d, _: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, TH, TW, td),
-                               lambda b, i, j, d, _: (b, i, j, d),
-                               memory_space=pltpu.VMEM),
-    )
-
     def kernel(bounds_ref, vecs_ref, cy_ref, cx_ref, out_ref):
         _kernel(bounds_ref, vecs_ref.at[0], cy_ref.at[0], cx_ref.at[0],
                 out_ref.at[0])
 
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, W, Dp), jnp.float32),
-        interpret=interpret,
-    )(bounds, vecs.astype(jnp.float32), cov_y, cov_x)
-    return out[..., :D]
+    def one_chunk(vecs_chunk):
+        """One pallas_call over a feature chunk (chunk dim is a full array
+        dim, satisfying the Mosaic last-dim tiling rule for any width)."""
+        Dc = vecs_chunk.shape[-1]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H // TH, W // TW),
+            in_specs=[
+                pl.BlockSpec((1, O, Dc), lambda b, i, j, _: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                # full coverage rows; the kernel slices its tile at a
+                # provably 128-aligned offset (Mosaic lane constraint)
+                pl.BlockSpec((1, O, H), lambda b, i, j, _: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, O, W), lambda b, i, j, _: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, TH, TW, Dc),
+                                   lambda b, i, j, _: (b, i, j, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, H, W, Dc), jnp.float32),
+            interpret=interpret,
+        )(bounds, vecs_chunk.astype(jnp.float32), cov_y, cov_x)
+
+    if D <= TD:
+        return one_chunk(vecs)
+    chunks = [one_chunk(vecs[..., s:s + TD]) for s in range(0, D, TD)]
+    return jnp.concatenate(chunks, axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
