@@ -30,44 +30,53 @@ TD = 64   # max feature width per pallas_call (bounds the VMEM output block)
 
 
 def _kernel(bounds_ref, vecs_ref, cov_y_ref, cov_x_ref, out_ref):
-    """One (b, th, tw, td) tile: accumulate sum_o vec[o] * covY[o] ⊗ covX[o].
+    """One (b, th, tw) tile.
 
-    bounds_ref: scalar-prefetch (B, O, 4) int32 [y_lo, y_hi, x_lo, x_hi] pixel
-      support of each object's coverage.
-    vecs_ref:  (O, Dc) VMEM (this call's feature chunk, full chunk dim)
-    cov_y_ref: (O, H) VMEM (full rows; tile slice taken at 128-aligned offset)
+    Dense per-tile contraction out[h,w,d] = sum_o cy[o,h]·cx[o,w]·v[o,d],
+    computed as one VPU broadcast-multiply plus one MXU matmul — no
+    per-object vector indexing (Mosaic forbids dynamic sublane loads). The
+    sparsity win is whole-tile skipping: a scalar loop over the prefetched
+    box bounds decides whether ANY object's coverage support touches this
+    tile; empty tiles write zeros and skip all vector/matrix work.
+
+    bounds_ref: scalar-prefetch (B, O, 4) int32 [y_lo, y_hi, x_lo, x_hi]
+    vecs_ref:  (O, Dc) VMEM (this call's feature chunk)
+    cov_y_ref: (O, H) VMEM
     cov_x_ref: (O, W) VMEM
-    out_ref:   (TH, TW, TD) VMEM
+    out_ref:   (TH, TW, Dc) VMEM
     """
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     y_start = pl.multiple_of(ti * TH, TH)
     x_start = pl.multiple_of(tj * TW, TW)
-    O = vecs_ref.shape[0]
+    O, Dc = vecs_ref.shape
 
-    out_ref[...] = jnp.zeros_like(out_ref)
-
-    def body(o, _):
+    def count_overlaps(o, acc):
         y_lo = bounds_ref[b, o, 0]
         y_hi = bounds_ref[b, o, 1]
         x_lo = bounds_ref[b, o, 2]
         x_hi = bounds_ref[b, o, 3]
-        overlaps = jnp.logical_and(
+        hit = jnp.logical_and(
             jnp.logical_and(y_lo < ti * TH + TH, y_hi > ti * TH),
             jnp.logical_and(x_lo < tj * TW + TW, x_hi > tj * TW))
+        return acc + hit.astype(jnp.int32)
 
-        @pl.when(overlaps)
-        def _():
-            cy = cov_y_ref[o, pl.ds(y_start, TH)]      # (TH,)
-            cx = cov_x_ref[o, pl.ds(x_start, TW)]      # (TW,)
-            v = vecs_ref[o, :]                         # (TD,)
-            patch = cy[:, None] * cx[None, :]          # (TH, TW)
-            out_ref[...] += patch[:, :, None] * v[None, None, :]
+    n_hit = jax.lax.fori_loop(0, O, count_overlaps, 0)
 
-        return 0
+    out_ref[...] = jnp.zeros_like(out_ref)
 
-    jax.lax.fori_loop(0, O, body, 0)
+    @pl.when(n_hit > 0)
+    def _():
+        cy = cov_y_ref[:, pl.ds(y_start, TH)]          # (O, TH)
+        cx = cov_x_ref[:, pl.ds(x_start, TW)]          # (O, TW)
+        v = vecs_ref[...]                              # (O, Dc)
+        mixed = cx[:, :, None] * v[:, None, :]         # (O, TW, Dc) VPU
+        out = jax.lax.dot_general(
+            cy, mixed.reshape(O, TW * Dc),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (TH, TW*Dc) MXU
+        out_ref[...] = out.reshape(TH, TW, Dc)
 
 
 def _coverage_bounds(boxes, H: int, W: int):
