@@ -29,28 +29,26 @@ TW = 128  # tile width (lane width)
 TD = 64   # max feature width per pallas_call (bounds the VMEM output block)
 
 
-def _kernel(bounds_ref, vecs_ref, cov_y_ref, cov_x_ref, out_ref):
+def _kernel(bounds_ref, vecs_ref, cov_yT_ref, cov_x_ref, out_ref):
     """One (b, th, tw) tile.
 
-    Dense per-tile contraction out[h,w,d] = sum_o cy[o,h]·cx[o,w]·v[o,d],
-    computed as one VPU broadcast-multiply plus one MXU matmul — no
-    per-object vector indexing (Mosaic forbids dynamic sublane loads). The
-    sparsity win is whole-tile skipping: a scalar loop over the prefetched
-    box bounds decides whether ANY object's coverage support touches this
-    tile; empty tiles write zeros and skip all vector/matrix work.
+    Batched MXU contraction out[d,h,w] = sum_o cy[h,o]·cx[o,w]·v[d,o] with
+    zero in-kernel reshapes/transposes (Mosaic layout restrictions): operands
+    arrive pre-transposed from the host. Whole tiles with no overlapping
+    object (scalar test over the prefetched box bounds) skip all vector work.
 
-    bounds_ref: scalar-prefetch (B, O, 4) int32 [y_lo, y_hi, x_lo, x_hi]
-    vecs_ref:  (O, Dc) VMEM (this call's feature chunk)
-    cov_y_ref: (O, H) VMEM
-    cov_x_ref: (O, W) VMEM
-    out_ref:   (TH, TW, Dc) VMEM
+    bounds_ref:  scalar-prefetch (B, O, 4) int32 [y_lo, y_hi, x_lo, x_hi]
+    vecs_ref:   (Dc, O) VMEM (feature chunk, transposed)
+    cov_yT_ref: (H, O) VMEM (transposed rows)
+    cov_x_ref:  (O, W) VMEM
+    out_ref:    (Dc, TH, TW) VMEM (caller transposes back outside)
     """
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     y_start = pl.multiple_of(ti * TH, TH)
     x_start = pl.multiple_of(tj * TW, TW)
-    O, Dc = vecs_ref.shape
+    Dc, O = vecs_ref.shape
 
     def count_overlaps(o, acc):
         y_lo = bounds_ref[b, o, 0]
@@ -68,15 +66,16 @@ def _kernel(bounds_ref, vecs_ref, cov_y_ref, cov_x_ref, out_ref):
 
     @pl.when(n_hit > 0)
     def _():
-        cy = cov_y_ref[:, pl.ds(y_start, TH)]          # (O, TH)
+        cy_t = cov_yT_ref[pl.ds(y_start, TH), :]       # (TH, O)
         cx = cov_x_ref[:, pl.ds(x_start, TW)]          # (O, TW)
-        v = vecs_ref[...]                              # (O, Dc)
-        mixed = cx[:, :, None] * v[:, None, :]         # (O, TW, Dc) VPU
+        v_t = vecs_ref[...]                            # (Dc, O)
+        lhs = jnp.broadcast_to(cy_t[None], (Dc, TH, O))
+        rhs = v_t[:, :, None] * cx[None, :, :]         # (Dc, O, TW) VPU
         out = jax.lax.dot_general(
-            cy, mixed.reshape(O, TW * Dc),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (TH, TW*Dc) MXU
-        out_ref[...] = out.reshape(TH, TW, Dc)
+            lhs, rhs,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # (Dc, TH, TW) MXU
+        out_ref[...] = out
 
 
 def _coverage_bounds(boxes, H: int, W: int):
@@ -111,37 +110,38 @@ def _splat_fwd_impl(vecs, boxes, H: int, W: int, interpret):
         _kernel(bounds_ref, vecs_ref.at[0], cy_ref.at[0], cx_ref.at[0],
                 out_ref.at[0])
 
-    def one_chunk(vecs_chunk):
-        """One pallas_call over a feature chunk (chunk dim is a full array
-        dim, satisfying the Mosaic last-dim tiling rule for any width)."""
-        Dc = vecs_chunk.shape[-1]
+    cov_yT = jnp.transpose(cov_y, (0, 2, 1))           # (B, H, O)
+
+    def one_chunk(vecs_chunk_t):
+        """One pallas_call over a transposed (B, Dc, O) feature chunk."""
+        Dc = vecs_chunk_t.shape[1]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, H // TH, W // TW),
             in_specs=[
-                pl.BlockSpec((1, O, Dc), lambda b, i, j, _: (b, 0, 0),
+                pl.BlockSpec((1, Dc, O), lambda b, i, j, _: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                # full coverage rows; the kernel slices its tile at a
-                # provably 128-aligned offset (Mosaic lane constraint)
-                pl.BlockSpec((1, O, H), lambda b, i, j, _: (b, 0, 0),
+                pl.BlockSpec((1, H, O), lambda b, i, j, _: (b, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, O, W), lambda b, i, j, _: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, TH, TW, Dc),
-                                   lambda b, i, j, _: (b, i, j, 0),
+            out_specs=pl.BlockSpec((1, Dc, TH, TW),
+                                   lambda b, i, j, _: (b, 0, i, j),
                                    memory_space=pltpu.VMEM),
         )
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((B, H, W, Dc), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, Dc, H, W), jnp.float32),
             interpret=interpret,
-        )(bounds, vecs_chunk.astype(jnp.float32), cov_y, cov_x)
+        )(bounds, vecs_chunk_t.astype(jnp.float32), cov_yT, cov_x)
+        return jnp.transpose(out, (0, 2, 3, 1))        # -> (B, H, W, Dc)
 
+    vecs_t = jnp.transpose(vecs, (0, 2, 1))            # (B, D, O)
     if D <= TD:
-        return one_chunk(vecs)
-    chunks = [one_chunk(vecs[..., s:s + TD]) for s in range(0, D, TD)]
+        return one_chunk(vecs_t)
+    chunks = [one_chunk(vecs_t[:, s:s + TD]) for s in range(0, D, TD)]
     return jnp.concatenate(chunks, axis=-1)
 
 
