@@ -29,7 +29,7 @@ TW = 128  # tile width (lane width)
 TD = 64   # max feature width per pallas_call (bounds the VMEM output block)
 
 
-def _kernel(bounds_ref, vecs_ref, cov_yT_ref, cov_x_ref, out_ref):
+def _kernel(bounds_ref, vecs_ref, cov_y_ref, cov_x_ref, out_ref):
     """One (b, th, tw) tile.
 
     Batched MXU contraction out[d,h,w] = sum_o cy[h,o]·cx[o,w]·v[d,o] with
@@ -39,7 +39,7 @@ def _kernel(bounds_ref, vecs_ref, cov_yT_ref, cov_x_ref, out_ref):
 
     bounds_ref:  scalar-prefetch (B, O, 4) int32 [y_lo, y_hi, x_lo, x_hi]
     vecs_ref:   (Dc, O) VMEM (feature chunk, transposed)
-    cov_yT_ref: (H, O) VMEM (transposed rows)
+    cov_y_ref:  (O, H) VMEM
     cov_x_ref:  (O, W) VMEM
     out_ref:    (Dc, TH, TW) VMEM (caller transposes back outside)
     """
@@ -66,14 +66,16 @@ def _kernel(bounds_ref, vecs_ref, cov_yT_ref, cov_x_ref, out_ref):
 
     @pl.when(n_hit > 0)
     def _():
-        cy_t = cov_yT_ref[pl.ds(y_start, TH), :]       # (TH, O)
+        cy = cov_y_ref[:, pl.ds(y_start, TH)]          # (O, TH)
         cx = cov_x_ref[:, pl.ds(x_start, TW)]          # (O, TW)
         v_t = vecs_ref[...]                            # (Dc, O)
-        lhs = jnp.broadcast_to(cy_t[None], (Dc, TH, O))
+        # contraction runs over the middle (O) dim — the minor lane dims stay
+        # 128-aligned (TH/TW), which Mosaic requires
+        lhs = jnp.broadcast_to(cy[None], (Dc, O, TH))
         rhs = v_t[:, :, None] * cx[None, :, :]         # (Dc, O, TW) VPU
         out = jax.lax.dot_general(
             lhs, rhs,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)        # (Dc, TH, TW) MXU
         out_ref[...] = out
 
@@ -110,8 +112,6 @@ def _splat_fwd_impl(vecs, boxes, H: int, W: int, interpret):
         _kernel(bounds_ref, vecs_ref.at[0], cy_ref.at[0], cx_ref.at[0],
                 out_ref.at[0])
 
-    cov_yT = jnp.transpose(cov_y, (0, 2, 1))           # (B, H, O)
-
     def one_chunk(vecs_chunk_t):
         """One pallas_call over a transposed (B, Dc, O) feature chunk."""
         Dc = vecs_chunk_t.shape[1]
@@ -121,7 +121,7 @@ def _splat_fwd_impl(vecs, boxes, H: int, W: int, interpret):
             in_specs=[
                 pl.BlockSpec((1, Dc, O), lambda b, i, j, _: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, H, O), lambda b, i, j, _: (b, 0, 0),
+                pl.BlockSpec((1, O, H), lambda b, i, j, _: (b, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, O, W), lambda b, i, j, _: (b, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -135,7 +135,7 @@ def _splat_fwd_impl(vecs, boxes, H: int, W: int, interpret):
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((B, Dc, H, W), jnp.float32),
             interpret=interpret,
-        )(bounds, vecs_chunk_t.astype(jnp.float32), cov_yT, cov_x)
+        )(bounds, vecs_chunk_t.astype(jnp.float32), cov_y, cov_x)
         return jnp.transpose(out, (0, 2, 3, 1))        # -> (B, H, W, Dc)
 
     vecs_t = jnp.transpose(vecs, (0, 2, 1))            # (B, D, O)
