@@ -56,7 +56,14 @@ def bench_layout():
                  num_train_samples=batch * 8, min_objects=10, max_objects=16,
                  image_size=(64, 64), learned_converse=True,
                  learned_transitivity=True)
-    ds = get_dataset(cfg.dataset, "train", cfg)
+    from canonicalsg2im_tpu.data.synthetic_clevr import SyntheticClevrDataset
+
+    # the layout stage never reads images — don't render or upload them
+    # (batch upload rides a network tunnel here)
+    ds = SyntheticClevrDataset(
+        num_samples=batch * 8, min_objects=10, max_objects=16,
+        learned_converse=True, learned_transitivity=True,
+        render_images=False, seed=cfg.seed)
     cfg.vocab = ds.vocab
     cfg.finalize()
     loader = BucketedLoader(ds, batch, seed=0, prefetch=2,
