@@ -36,6 +36,7 @@ class GraphTripleConv(nn.Module):
     # beats TPU's sort-based segment_sum for small buckets; the threshold is
     # the (2T x O) one-hot footprint above which we fall back to segment_sum.
     matmul_pool_max_elems: int = 1 << 21
+    dtype: jnp.dtype = jnp.float32  # MLP compute dtype (bf16 on TPU)
 
     @nn.compact
     def __call__(self, obj_vecs, pred_vecs, edges, pred_mask, triplet_type,
@@ -65,7 +66,8 @@ class GraphTripleConv(nn.Module):
         t_in = jnp.concatenate([s_vecs, pred_vecs, o_vecs], axis=-1)
         t_out = MLP((self.hidden_dim, 2 * H + Dp),
                     batch_norm=self.mlp_normalization, final_nonlinearity="relu",
-                    kernel_init=he, name="net1")(t_in, train=train)
+                    kernel_init=he, dtype=self.dtype,
+                    name="net1")(t_in, train=train).astype(jnp.float32)
 
         trans_p = nn.sigmoid(trans_weights)[predicate_ids]          # (B, T)
         tt = triplet_type
@@ -103,7 +105,8 @@ class GraphTripleConv(nn.Module):
 
         new_obj = MLP((self.hidden_dim, self.object_output_dim),
                       batch_norm=self.mlp_normalization, final_nonlinearity="relu",
-                      kernel_init=he, name="net2")(pooled, train=train)
+                      kernel_init=he, dtype=self.dtype,
+                      name="net2")(pooled, train=train).astype(jnp.float32)
         if not self.return_new_p_vecs:
             new_p = pred_vecs
         return new_obj, new_p

@@ -34,6 +34,7 @@ class MLP(nn.Module):
     batch_norm: str = "none"
     final_nonlinearity: Optional[str] = "relu"
     kernel_init: Optional[Callable] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -41,7 +42,7 @@ class MLP(nn.Module):
         init = self.kernel_init or nn.initializers.lecun_normal()
         n = len(self.dims)
         for i, dim in enumerate(self.dims):
-            x = nn.Dense(dim, kernel_init=init)(x)
+            x = nn.Dense(dim, kernel_init=init, dtype=self.dtype)(x)
             if i < n - 1:
                 if self.batch_norm == "batch":
                     x = nn.BatchNorm(use_running_average=not train, momentum=0.9,

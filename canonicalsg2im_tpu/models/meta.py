@@ -81,6 +81,7 @@ class MetaGeneratorModel(nn.Module):
                 mlp_normalization=self.mlp_normalization,
                 mask_size=self.mask_size, mask_noise_dim=self.mask_noise_dim,
                 learned_init=self.learned_init,
+                dtype=self.dtype,
                 name="sg_to_layout",
             )(objs, triplets, triplet_type, train=train)
 

@@ -69,6 +69,7 @@ class Sg2LayoutModel(nn.Module):
     mask_size: int = 0
     mask_noise_dim: int = 64
     learned_init: str = "uniform"
+    dtype: jnp.dtype = jnp.float32  # GCN MLP compute dtype; box head stays f32
 
     @nn.compact
     def __call__(self, objs, triplets, triplet_type, *, train: bool = True):
@@ -106,6 +107,7 @@ class Sg2LayoutModel(nn.Module):
                 predicate_output_dim=self.gconv_dim,
                 mlp_normalization=self.mlp_normalization,
                 pooling=self.gconv_pooling,
+                dtype=self.dtype,
                 name=f"gconv_{i}",
             )(obj_vecs, pred_vecs, edges, pred_mask, triplet_type, p,
               trans_weights, train=train)

@@ -55,8 +55,11 @@ def layout_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def create_layout_state(cfg: Config, rng) -> LayoutTrainState:
+    import jax.numpy as jnp
+
     model = Sg2LayoutModel(
         vocab=cfg.vocab,
+        dtype=jnp.dtype(cfg.compute_dtype),
         embedding_dim=cfg.embedding_dim,
         gconv_dim=cfg.gconv_dim,
         gconv_hidden_dim=cfg.gconv_hidden_dim,

@@ -12,7 +12,8 @@ from canonicalsg2im_tpu.train import create_layout_state, layout_train_step
 
 
 def test_edge_sharded_step_matches_unsharded():
-    cfg = Config(dataset="packed_clevr_syn", num_train_samples=8, batch_size=2,
+    cfg = Config(dataset="packed_clevr_syn", compute_dtype="float32",
+                 num_train_samples=8, batch_size=2,
                  min_objects=8, max_objects=12, image_size=(32, 32),
                  gconv_num_layers=2, gconv_hidden_dim=64, gconv_dim=32,
                  embedding_dim=8, learned_transitivity=True)

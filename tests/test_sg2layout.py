@@ -19,7 +19,8 @@ from canonicalsg2im_tpu.train import (
 
 
 def _cfg(**kw):
-    base = dict(dataset="packed_clevr_syn", num_train_samples=32,
+    base = dict(dataset="packed_clevr_syn", compute_dtype="float32",
+                num_train_samples=32,
                 num_val_samples=8, batch_size=4, min_objects=3, max_objects=6,
                 image_size=(64, 64), gconv_num_layers=2, gconv_hidden_dim=64,
                 gconv_dim=32, embedding_dim=8)
