@@ -51,6 +51,20 @@ class SceneGraphSample:
     image_id: int
 
 
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_fetch(idx: int, converse_weights):
+    if converse_weights is not None:
+        _WORKER_DATASET.converse_candidates_weights = converse_weights
+    return _WORKER_DATASET[idx]
+
+
 def bucket_for(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -113,7 +127,7 @@ class BucketedLoader:
                                                    2048, 4096, 8192, 16384,
                                                    32768, 65536),
                  seed: int = 0, drop_last: bool = True, prefetch: int = 2,
-                 num_workers: int = 4):
+                 num_workers: int = 4, worker_type: str = "thread"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -122,10 +136,12 @@ class BucketedLoader:
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
         self.prefetch = prefetch
-        # per-sample canonicalization is NumPy-heavy and releases the GIL
-        # often enough that a small thread pool overlaps it across the batch
-        # (the reference uses DataLoader worker processes instead)
+        # Per-sample canonicalization is many small NumPy calls (GIL-heavy).
+        # 'thread' workers overlap modestly; 'process' workers (spawned, the
+        # reference's DataLoader-worker analogue) sidestep the GIL — the
+        # current converse weights ride along with every task.
         self.num_workers = num_workers
+        self.worker_type = worker_type
         self._pool = None
         self._lock = threading.Lock()
         self._pending_weights: Optional[np.ndarray] = None
@@ -149,7 +165,18 @@ class BucketedLoader:
             if len(idx) < self.batch_size and self.drop_last:
                 return
             self._apply_pending_weights()
-            if self.num_workers > 1 and len(idx) > 1:
+            if self.worker_type == "process" and self.num_workers > 1:
+                if self._pool is None:
+                    import multiprocessing as mp
+
+                    ctx = mp.get_context("spawn")
+                    self._pool = ctx.Pool(
+                        self.num_workers, initializer=_init_worker,
+                        initargs=(self.dataset,))
+                w = getattr(self.dataset, "converse_candidates_weights", None)
+                samples = self._pool.starmap(
+                    _worker_fetch, [(int(i), w) for i in idx])
+            elif self.num_workers > 1 and len(idx) > 1:
                 if self._pool is None:
                     from concurrent.futures import ThreadPoolExecutor
 
@@ -185,6 +212,21 @@ class BucketedLoader:
             if isinstance(item, BaseException):
                 raise item
             yield item
+
+    def close(self) -> None:
+        if self._pool is not None:
+            try:
+                if hasattr(self._pool, "terminate"):  # mp.Pool
+                    self._pool.terminate()
+                    self._pool.join()
+                else:  # ThreadPoolExecutor
+                    self._pool.shutdown(wait=False)
+            except Exception:
+                pass
+            self._pool = None
+
+    def __del__(self):
+        self.close()
 
     def __len__(self) -> int:
         n = len(self.dataset)

@@ -138,3 +138,20 @@ def test_canonical_graph_sampling_preserves_semantics():
         for s, p, o in out:
             assert (s, o) in pairs or (o, s) in pairs
     assert len(seen_sizes) > 1  # actually samples different variants
+
+
+def test_process_worker_loader():
+    """Spawned process workers (the reference's DataLoader-worker analogue)
+    produce identical batches to the in-process path."""
+    ds = SyntheticClevrDataset(num_samples=8, min_objects=3, max_objects=5,
+                               learned_converse=True, render_images=False,
+                               seed=3)
+    a = BucketedLoader(ds, 4, seed=0, prefetch=0, num_workers=1)
+    b = BucketedLoader(ds, 4, seed=0, prefetch=0, num_workers=2,
+                       worker_type="process")
+    try:
+        for ba, bb in zip(a, b):
+            assert np.array_equal(ba.objs, bb.objs)
+            assert np.array_equal(ba.triplets, bb.triplets)
+    finally:
+        b.close()
