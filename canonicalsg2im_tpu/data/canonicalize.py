@@ -9,6 +9,8 @@ boolean-matmul closure of :mod:`canonicalsg2im_tpu.graphs.closure`.
 """
 from __future__ import annotations
 
+import ctypes
+import os
 from typing import Optional
 
 import numpy as np
@@ -24,6 +26,28 @@ from canonicalsg2im_tpu.graphs import (
     triplets_to_minimal,
 )
 from canonicalsg2im_tpu.data.vocab import AUGMENTED_RELATIONS, META_RELATIONS
+
+_NATIVE = None  # None = not probed, False = unavailable/disabled
+
+
+def _native_lib():
+    """The C++ canonicalizer (native/canonicalize.cpp) — the per-sample
+    numpy path is many tiny GIL-bound allocations (~1.5 ms/scene, the
+    measured layout-stage host bottleneck); the native path is ~microseconds.
+    Disable with CSG2IM_NATIVE_CANON=0."""
+    global _NATIVE
+    if _NATIVE is None:
+        if os.environ.get("CSG2IM_NATIVE_CANON", "1") == "0":
+            _NATIVE = False
+        else:
+            from canonicalsg2im_tpu.native.build import load_canonicalize
+
+            _NATIVE = load_canonicalize() or False
+    return _NATIVE or None
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
 def location_triplets(
@@ -45,6 +69,24 @@ def location_triplets(
     if len(real) < 2:
         return []
     p2i = vocab["pred_name_to_idx"]
+
+    lib = _native_lib()
+    if lib is not None:
+        b = np.ascontiguousarray(boxes, dtype=np.float32)
+        c = np.ascontiguousarray(obj_centers, dtype=np.float32)
+        r = np.ascontiguousarray(real_mask, dtype=np.uint8)
+        rel_ids = np.asarray([p2i[n] for n in AUGMENTED_RELATIONS],
+                             dtype=np.int32)
+        cap = 2 * O * O + 8
+        out = np.empty((cap, 3), dtype=np.int32)
+        n = lib.location_triplets_minimal(
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            r.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            O, _i32p(rel_ids), _i32p(out), cap)
+        if n >= 0:
+            return out[:n].astype(np.int64).tolist()
+        # overflow / too many nodes: fall through to the numpy path
 
     b = boxes[real]
     x0, y0 = b[:, 0], b[:, 1]
@@ -138,6 +180,43 @@ def sample_canonical_graph(triplets, vocab,
     return out
 
 
+def _native_augment(lib, triplets, P, non_meta, meta, learned_converse,
+                    learned_transitivity, learned_symmetry, converse_weights,
+                    rng):
+    """C++ fast path for :func:`augment_triplets`. Deterministic parts are
+    byte-identical to the numpy path (outputs compared per segment as sorted
+    sets in tests); converse draws use the library's own RNG, seeded from one
+    draw of ``rng`` so runs stay reproducible. Returns None on overflow."""
+    trip = np.ascontiguousarray(np.asarray(triplets, dtype=np.int32)
+                                .reshape(-1, 3))
+    T = trip.shape[0]
+    nm = np.asarray(non_meta, dtype=np.int32)
+    mt = np.asarray(meta, dtype=np.int32)
+    if learned_converse:
+        w = np.ascontiguousarray(converse_weights, dtype=np.float64)
+    else:
+        w = np.zeros((P, P), dtype=np.float64)
+    seed = int((rng or np.random.default_rng()).integers(0, 2**63 - 1))
+    conv_counts = np.zeros((P, P + 1), dtype=np.float32)
+
+    cap = 4 * max(T, 1) + 1024
+    for _ in range(4):
+        out = np.empty((cap, 3), dtype=np.int32)
+        out_types = np.empty((cap,), dtype=np.int32)
+        n = lib.augment_triplets(
+            _i32p(trip), T, P, _i32p(nm), len(nm), _i32p(mt), len(mt),
+            int(learned_converse), int(learned_transitivity),
+            int(learned_symmetry),
+            w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_uint64(seed), _i32p(out), _i32p(out_types),
+            conv_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap)
+        if n >= 0:
+            return (out[:n].astype(np.int64), conv_counts,
+                    out_types[:n].astype(np.int64))
+        cap *= 4
+    return None
+
+
 def augment_triplets(
     triplets: list,
     vocab: dict,
@@ -166,6 +245,18 @@ def augment_triplets(
     if len(triplets) == 0:
         return (np.zeros((0, 3), dtype=np.int64), conv_counts,
                 np.zeros((0,), dtype=np.int64))
+    if learned_converse:
+        assert converse_weights is not None, "learned_converse needs weights"
+
+    lib = _native_lib()
+    if lib is not None:
+        res = _native_augment(
+            lib, triplets, P, sorted(non_meta), sorted(meta),
+            learned_converse, learned_transitivity, learned_symmetry,
+            converse_weights, rng)
+        if res is not None:
+            return res
+
     triplets_arr = np.unique(np.asarray(triplets, dtype=np.int64), axis=0)
 
     new_triplets: list = []

@@ -1,4 +1,4 @@
-"""Build + load the native mask codec (g++ at first use, cached .so)."""
+"""Build + load the native host libraries (g++ at first use, cached .so)."""
 from __future__ import annotations
 
 import ctypes
@@ -10,6 +10,8 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _LOCK = threading.Lock()
 _LIB = None
 _FAILED = False
+_CANON_LIB = None
+_CANON_FAILED = False
 
 
 def _build(src: str, out: str) -> bool:
@@ -50,3 +52,34 @@ def load_cocomask():
             ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
         _LIB = lib
         return _LIB
+
+
+def load_canonicalize():
+    """Native scene-graph canonicalization (canonicalize.cpp), or None."""
+    global _CANON_LIB, _CANON_FAILED
+    with _LOCK:
+        if _CANON_LIB is not None or _CANON_FAILED:
+            return _CANON_LIB
+        so = os.path.join(_HERE, "libcanonicalize.so")
+        src = os.path.join(_HERE, "canonicalize.cpp")
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            if not _build(src, so):
+                _CANON_FAILED = True
+                return None
+        lib = ctypes.CDLL(so)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.location_triplets_minimal.restype = ctypes.c_int64
+        lib.location_triplets_minimal.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, i32p, i32p,
+            ctypes.c_int64]
+        lib.augment_triplets.restype = ctypes.c_int64
+        lib.augment_triplets.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int32,
+            i32p, ctypes.c_int32, i32p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_uint64,
+            i32p, i32p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        _CANON_LIB = lib
+        return _CANON_LIB
