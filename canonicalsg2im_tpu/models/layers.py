@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Callable, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -158,3 +159,101 @@ class GlobalAvgPool(nn.Module):
     @nn.compact
     def __call__(self, x):
         return x.mean(axis=(1, 2))  # NHWC -> NC
+
+
+class ResidualBlock(nn.Module):
+    """Standalone pre-activation residual block (sg2im/layers.py:190-218):
+    norm -> act -> 3x3 conv -> norm -> act -> 3x3 conv + skip."""
+
+    channels: int
+    normalization: str = "batch"
+    activation: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        act = get_activation(self.activation)
+
+        def norm(y):
+            if self.normalization == "batch":
+                return nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, epsilon=1e-5)(y)
+            if self.normalization == "instance":
+                return nn.GroupNorm(num_groups=None, group_size=1,
+                                    use_bias=False, use_scale=False)(y)
+            return y
+
+        y = act(norm(x))
+        y = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype)(y)
+        y = act(norm(y))
+        y = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype)(y)
+        return x + y
+
+
+class Interpolate(nn.Module):
+    """Module wrapper over resize (sg2im/layers.py:221-231) — nearest only,
+    matching the reference's F.interpolate default."""
+
+    scale_factor: int = 2
+    size: Optional[tuple] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.size is not None:
+            return resize_nearest(x, self.size)
+        return upsample_nearest(x, self.scale_factor)
+
+
+class ConditionalBatchNorm2d(nn.Module):
+    """Class-conditional BN (sg2im/layers.py:246-258, unused in the main
+    path): param-free BN, then per-class (gamma, beta) from an embedding."""
+
+    num_classes: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y, train: bool = True):
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, use_bias=False, use_scale=False)(x)
+        C = x.shape[-1]
+        table = nn.Embed(self.num_classes, 2 * C,
+                         embedding_init=nn.initializers.normal(0.02))(y)
+        gamma, beta = jnp.split(table, 2, axis=-1)
+        # (B, 2C) conditioning broadcast over H, W
+        return h * (1.0 + gamma[:, None, None, :]) + beta[:, None, None, :]
+
+
+def weight_initializer(init_type: str = "xavier", gain: float = 0.02):
+    """Kernel initializer matching BaseNetwork.init_weights
+    (spade base_network.py:26-52): normal / xavier / kaiming / orthogonal."""
+    if init_type == "normal":
+        return nn.initializers.normal(stddev=gain)
+    if init_type in ("xavier", "glorot"):
+        return nn.initializers.variance_scaling(
+            gain * gain, "fan_avg", "truncated_normal")
+    if init_type == "kaiming":
+        return nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+    if init_type == "orthogonal":
+        return nn.initializers.orthogonal(scale=gain)
+    raise ValueError(f"unknown init_type {init_type!r}")
+
+
+def apply_init_weights(params, rng, init_type: str = "xavier",
+                       gain: float = 0.02):
+    """Re-initialize every conv/dense kernel of a param tree in one pass —
+    the functional analogue of the reference's post-construction
+    `net.apply(init_weights)` sweep (spade base_network.py:10-59). Biases,
+    norm scales, and embeddings are left at their flax defaults, matching
+    the reference's module filter ('Conv'/'Linear' in classname)."""
+    init = weight_initializer(init_type, gain)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    keys = jax.random.split(rng, len(flat))
+    out = []
+    for k, (path, leaf) in zip(keys, flat):
+        name = str(path[-1])
+        if "kernel" in name and hasattr(leaf, "ndim") and leaf.ndim >= 2:
+            out.append(init(k, leaf.shape, leaf.dtype))
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
