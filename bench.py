@@ -37,6 +37,7 @@ from canonicalsg2im_tpu.models.vgg import load_vgg_params  # noqa: E402
 from canonicalsg2im_tpu.parallel import create_mesh, replicate, shard_batch  # noqa: E402
 from canonicalsg2im_tpu.train.gan import (  # noqa: E402
     create_gan_states,
+    gan_train_multi_step,
     gan_train_step,
     step_cfg_from_config,
 )
@@ -92,7 +93,7 @@ def bench_layout():
     def run_block(state, rng):
         rng, sub = jax.random.split(rng)
         rngs = jax.random.split(sub, K)
-        batches = shard_batch(stack_batches(), mesh)
+        batches = shard_batch(stack_batches(), mesh, stacked=True)
         state, metrics, _ = layout_train_multi_step(
             state, batches, rngs, non_meta_rels=non_meta,
             learned_converse=True)
@@ -151,21 +152,35 @@ def main():
 
     it = cycle(loader)
 
-    def step(states, b, k):
-        return gan_train_step(states, shard_batch(b, mesh), k, vgg_params,
-                              sc=sc)
+    # BENCH_GAN_SCAN=K > 1 runs K fused steps per dispatch via lax.scan
+    # (gan_train_multi_step), amortizing the tunnel round-trip like the
+    # layout bench does. K=1 keeps the single-step path.
+    K = int(os.environ.get("BENCH_GAN_SCAN", 1))
+
+    def step(states, k):
+        if K == 1:
+            return gan_train_step(states, shard_batch(next(it), mesh), k,
+                                  vgg_params, sc=sc)
+        bs = [next(it) for _ in range(K)]
+        stacked = jax.tree.map(
+            lambda *xs: (np.stack(xs) if xs[0] is not None else None), *bs)
+        return gan_train_multi_step(states,
+                                    shard_batch(stacked, mesh, stacked=True),
+                                    jax.random.split(k, K), vgg_params, sc=sc)
 
     for _ in range(warmup):
         rng, k = jax.random.split(rng)
-        states, metrics, _ = step(states, next(it), k)
+        states, metrics, _ = step(states, k)
     jax.block_until_ready(metrics["total_loss"])
 
+    n_blocks = max(steps // K, 1)
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for _ in range(n_blocks):
         rng, k = jax.random.split(rng)
-        states, metrics, _ = step(states, next(it), k)
+        states, metrics, _ = step(states, k)
     jax.block_until_ready(metrics["total_loss"])
     dt = time.perf_counter() - t0
+    steps = n_blocks * K
 
     n_chips = len(jax.devices())
     imgs_per_sec = steps * batch / dt / max(n_chips, 1)

@@ -32,8 +32,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def shard_batch(batch, mesh: Mesh, *, shard_graph: bool = False):
-    """Place every array of a Batch/pytree with its leading dim on 'data'.
+def shard_batch(batch, mesh: Mesh, *, shard_graph: bool = False,
+                stacked: bool = False):
+    """Place every array of a Batch/pytree with its batch dim on 'data'.
+
+    With ``stacked=True`` the pytree has a leading K (scan-steps) axis in
+    front of the batch axis — K is replicated and axis 1 (the true batch
+    dim) is sharded instead.
 
     With ``shard_graph=True`` the triplet axis is additionally sharded over
     the 'model' mesh axis — the graph analogue of sequence parallelism for
@@ -41,11 +46,12 @@ def shard_batch(batch, mesh: Mesh, *, shard_graph: bool = False):
     §5.7). The GCN's gathers/MLPs then run edge-parallel and XLA inserts the
     psum over object segments on its own.
     """
-    s = batch_sharding(mesh)
+    lead = (None,) if stacked else ()
+    s = NamedSharding(mesh, P(*lead, "data"))
     if not shard_graph or not hasattr(batch, "triplets"):
         return jax.tree.map(
             lambda x: jax.device_put(x, s) if x is not None else None, batch)
-    edge = NamedSharding(mesh, P("data", "model"))
+    edge = NamedSharding(mesh, P(*lead, "data", "model"))
     moved = {}
     for name, x in batch._asdict().items():
         if x is None:

@@ -408,9 +408,9 @@ def discriminator_losses(sc: StepCfg, states: GanStates, d_params, batch,
 
 # ----------------------------------------------------------------- the steps
 
-@partial(jax.jit, static_argnames=("sc",), donate_argnames=("states",))
-def gan_train_step(states: GanStates, batch, rng, vgg_params, *, sc: StepCfg):
-    """One full G + REINFORCE + D update. Returns (states, metrics, conv_w).
+def _gan_train_body(states: GanStates, batch, rng, vgg_params, sc: StepCfg):
+    """One full G + REINFORCE + D update (traceable; shared by the single-
+    and multi-step entry points). Returns (states, metrics).
 
     Generator and discriminator losses are combined in a SINGLE
     value_and_grad over the disjoint {g, img-D, obj-D, mask-D} parameter
@@ -463,12 +463,43 @@ def gan_train_step(states: GanStates, batch, rng, vgg_params, *, sc: StepCfg):
                 grads=grads["mask"]).replace(
                 batch_stats=d_stats.get("mask", states.d_mask.batch_stats))
             states = states.replace(d_mask=d_mask)
+    return states, metrics
 
-    conv_w = None
-    if not sc.skip_graph_model:
-        conv_w = symmetrize_converse(
-            states.g.params["sg_to_layout"]["converse_candidates_weights"])
-    return states, metrics, conv_w
+
+def _conv_w(states: GanStates, sc: StepCfg):
+    if sc.skip_graph_model:
+        return None
+    return symmetrize_converse(
+        states.g.params["sg_to_layout"]["converse_candidates_weights"])
+
+
+@partial(jax.jit, static_argnames=("sc",), donate_argnames=("states",))
+def gan_train_step(states: GanStates, batch, rng, vgg_params, *, sc: StepCfg):
+    """One fused G + REINFORCE + D update. Returns (states, metrics, conv_w).
+    See :func:`_gan_train_body` for the fusion semantics."""
+    states, metrics = _gan_train_body(states, batch, rng, vgg_params, sc)
+    return states, metrics, _conv_w(states, sc)
+
+
+@partial(jax.jit, static_argnames=("sc",), donate_argnames=("states",))
+def gan_train_multi_step(states: GanStates, batches, rngs, vgg_params, *,
+                         sc: StepCfg):
+    """K GAN train steps in ONE dispatch via lax.scan over stacked batches.
+
+    Amortizes host->device dispatch latency (the chip sits behind a network
+    tunnel): ``batches`` is a batch pytree with a leading K axis, ``rngs``
+    is (K, 2) PRNG keys. Bit-equivalent to K sequential gan_train_step calls
+    (tests/test_gan_training.py); the learned-converse host feedback then
+    updates every K steps. Returns (states, last-step metrics, conv_w)."""
+
+    def body(carry, xs):
+        batch, rng = xs
+        carry, metrics = _gan_train_body(carry, batch, rng, vgg_params, sc)
+        return carry, metrics
+
+    states, metrics = jax.lax.scan(body, states, (batches, rngs))
+    metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+    return states, metrics, _conv_w(states, sc)
 
 
 @partial(jax.jit, static_argnames=("sc", "use_gt", "use_gt_masks"))

@@ -101,3 +101,55 @@ def test_img_disc_only_mode():
                                         vgg_params, sc=sc)
     assert "GAN_Obj" not in metrics and "D_obj" not in metrics
     assert np.isfinite(float(metrics["total_img_loss"]))
+
+
+def test_gan_multi_step_matches_sequential():
+    """lax.scan multi-step (one dispatch) vs K sequential fused steps.
+
+    The guarantee is semantic, not bitwise: XLA fuses the scan body
+    differently from the standalone step (and CPU multi-threaded reductions
+    are not even run-to-run bit-stable at this model size), so float32
+    sums differ by ~1e-7 — and Adam normalizes near-zero gradients to full
+    step size, decorrelating those parameters' low-order bits. What must
+    hold: the loss trajectory matches to float tolerance, every parameter
+    stays within the per-step Adam update bound of its sequential twin, and
+    the REINFORCE converse weights agree."""
+    from canonicalsg2im_tpu.train.gan import gan_train_multi_step
+
+    cfg, loader, vgg_params = _setup()
+    sc = step_cfg_from_config(cfg)
+    batch = next(iter(loader))
+    rng = jax.random.PRNGKey(42)
+
+    # K=1: same loss (tight) against the single fused step
+    seq = create_gan_states(cfg, jax.random.PRNGKey(0))
+    seq, seq_metrics, seq_conv = gan_train_step(seq, batch, rng, vgg_params,
+                                                sc=sc)
+    scan = create_gan_states(cfg, jax.random.PRNGKey(0))
+    stacked1 = jax.tree.map(lambda x: np.stack([x]), batch)
+    scan, scan_metrics, scan_conv = gan_train_multi_step(
+        scan, stacked1, rng[None], vgg_params, sc=sc)
+    np.testing.assert_allclose(float(seq_metrics["total_loss"]),
+                               float(scan_metrics["total_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(seq_conv), np.asarray(scan_conv),
+                               atol=5e-4)
+
+    # K=2: same loss trajectory to float32 tolerance, same update scale
+    K = 2
+    rngs = jax.random.split(jax.random.PRNGKey(7), K)
+    stacked = jax.tree.map(lambda x: np.stack([x] * K), batch)
+    seq2 = create_gan_states(cfg, jax.random.PRNGKey(0))
+    for k in rngs:
+        seq2, m_seq, _ = gan_train_step(seq2, batch, k, vgg_params, sc=sc)
+    scan2 = create_gan_states(cfg, jax.random.PRNGKey(0))
+    scan2, m_scan, _ = gan_train_multi_step(scan2, stacked, rngs, vgg_params,
+                                            sc=sc)
+    np.testing.assert_allclose(float(m_seq["total_loss"]),
+                               float(m_scan["total_loss"]), rtol=1e-3)
+    lr_bound = 4 * K * 1e-4  # Adam per-step |update| <= ~lr
+    for a, b in zip(jax.tree.leaves(seq2.g.params),
+                    jax.tree.leaves(scan2.g.params)):
+        assert float(abs(np.asarray(a) - np.asarray(b)).max()) <= lr_bound
+    for a, b in zip(jax.tree.leaves(seq2.d_img.params),
+                    jax.tree.leaves(scan2.d_img.params)):
+        assert float(abs(np.asarray(a) - np.asarray(b)).max()) <= lr_bound

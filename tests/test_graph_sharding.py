@@ -44,3 +44,30 @@ def test_edge_sharded_step_matches_unsharded():
     for a, b in zip(jax.tree.leaves(s_plain.params),
                     jax.tree.leaves(s_shard.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_shard_batch_stacked_places_data_on_axis1():
+    """K-stacked scan batches: K replicated, batch dim (axis 1) on 'data'."""
+    from canonicalsg2im_tpu.data.pipeline import Batch
+
+    mesh = create_mesh((4, 2))
+    K, B = 3, 8
+    batch = Batch(
+        imgs=None,
+        objs=np.zeros((K, B, 4, 2), np.int32),
+        boxes=np.zeros((K, B, 4, 4), np.float32),
+        triplets=np.zeros((K, B, 16, 3), np.int32),
+        conv_counts=np.zeros((K, B, 8, 9), np.float32),
+        triplet_type=np.zeros((K, B, 16), np.int32),
+        masks=None,
+        image_ids=np.zeros((K, B), np.int64),
+    )
+    out = shard_batch(batch, mesh, stacked=True, shard_graph=True)
+    spec_objs = out.objs.sharding.spec
+    assert tuple(spec_objs)[:2] == (None, "data")
+    spec_trip = out.triplets.sharding.spec
+    assert tuple(spec_trip)[:3] == (None, "data", "model")
+    # non-stacked keeps the old contract: leading dim on 'data'
+    flat = jax.tree.map(lambda x: x[0] if x is not None else None, batch)
+    out2 = shard_batch(flat, mesh)
+    assert tuple(out2.objs.sharding.spec)[:1] == ("data",)
