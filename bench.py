@@ -45,6 +45,17 @@ from canonicalsg2im_tpu.train.gan import (  # noqa: E402
 BASELINE_IMAGES_PER_SEC = 16.0
 
 
+def _sync(metrics):
+    """True device barrier: fetch a scalar VALUE.
+
+    On the tunnel'd TPU backend jax.block_until_ready returns before the
+    execution queue drains (measured: it returned in 0.1 ms while ~159 s of
+    queued work was still executing), so timing with it measures dispatch
+    rate, not throughput. A host value fetch is the only reliable sync.
+    """
+    return float(jax.device_get(metrics["total_loss"]))
+
+
 def bench_layout():
     """SG->Layout supervised step throughput on dense packed graphs."""
     from canonicalsg2im_tpu.data.vocab import non_meta_relation_ids
@@ -101,12 +112,12 @@ def bench_layout():
 
     for _ in range(warmup):
         state, metrics, rng = run_block(state, rng)
-    jax.block_until_ready(metrics["total_loss"])
+    _sync(metrics)
     t0 = time.perf_counter()
     n_blocks = max(steps // K, 1)
     for _ in range(n_blocks):
         state, metrics, rng = run_block(state, rng)
-    jax.block_until_ready(metrics["total_loss"])
+    _sync(metrics)
     dt = time.perf_counter() - t0
     graphs_per_sec = n_blocks * K * batch / dt / max(len(jax.devices()), 1)
     print(json.dumps({
@@ -171,14 +182,14 @@ def main():
     for _ in range(warmup):
         rng, k = jax.random.split(rng)
         states, metrics, _ = step(states, k)
-    jax.block_until_ready(metrics["total_loss"])
+    _sync(metrics)
 
     n_blocks = max(steps // K, 1)
     t0 = time.perf_counter()
     for _ in range(n_blocks):
         rng, k = jax.random.split(rng)
         states, metrics, _ = step(states, k)
-    jax.block_until_ready(metrics["total_loss"])
+    _sync(metrics)
     dt = time.perf_counter() - t0
     steps = n_blocks * K
 
