@@ -133,7 +133,11 @@ def main():
         bench_layout()
         return
     size = int(os.environ.get("BENCH_IMAGE_SIZE", 256))
-    batch = int(os.environ.get("BENCH_BATCH", 16))
+    # per-chip throughput peaks at batch 8 on the 15.75G v5e (45.4 imgs/s vs
+    # 35.9 at batch 16: the 256^2 fused step is HBM-pressure-bound, and the
+    # smaller live set schedules better); data parallelism over more chips is
+    # the intended way to scale the global batch (parallel/mesh.py)
+    batch = int(os.environ.get("BENCH_BATCH", 8))
     steps = int(os.environ.get("BENCH_STEPS", 10))
     warmup = int(os.environ.get("BENCH_WARMUP", 2))
 

@@ -150,9 +150,13 @@ class Config:
     bucket_triplets: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
     donate_state: bool = True
     use_pallas_splat: bool = False
-    # remat trades ~30% step time for HBM headroom; the measured 256^2
-    # batch-16 bf16 GAN step fits without it (92.8 vs 65.8 imgs/s/chip)
     remat_generator: bool = False
+    # rematerialize loss-side network forwards in the fused GAN step:
+    # "none" | "vgg" | "all" (see train/gan.py StepCfg.remat_loss). Measured
+    # at 256^2 batch 16 on one v5e: none=35.9, vgg=33.6, all=26.4 imgs/s —
+    # XLA's own memory-pressure handling beats forced remat on this size, so
+    # the default is off; the options remain for larger-memory configs
+    remat_loss: str = "none"
     weights_dir: str = "weights"  # converted VGG19 / InceptionV3 arrays
 
     # populated at runtime, not via CLI

@@ -78,6 +78,15 @@ class StepCfg(NamedTuple):
     use_gt_boxes: bool = True
     use_gt_masks: bool = True
     compute_dtype: str = "float32"
+    # Rematerialize loss-side network forwards instead of saving their
+    # activations for backward: "none" | "vgg" | "all". The fused step runs
+    # at the HBM ceiling (temp 13.7G of 15.75G at 256^2 batch 16; the VGG
+    # loss alone microbenches at 23 ms but adds ~180 ms to the step), yet
+    # forced remat measures SLOWER than XLA's own memory-pressure handling
+    # (none=35.9, vgg=33.6, all=26.4 imgs/s/chip — "all" also breaks the CSE
+    # between the G-loss and D-loss discriminator passes). Default off; the
+    # options remain for configs with more memory headroom to trade.
+    remat_loss: str = "none"
 
 
 def step_cfg_from_config(cfg: Config) -> StepCfg:
@@ -101,6 +110,7 @@ def step_cfg_from_config(cfg: Config) -> StepCfg:
         skip_generation=cfg.skip_generation,
         learned_converse=cfg.learned_converse,
         mask_size=cfg.mask_size,
+        remat_loss=cfg.remat_loss,
         use_gt_boxes=not cfg.skip_graph_model or cfg.isTrain,
         use_gt_masks=cfg.mask_size > 0,
         compute_dtype=cfg.compute_dtype,
@@ -257,20 +267,34 @@ def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
             losses["masks_pred"] = m
             total = total + m
 
+    # Gradients flow into these scoring networks only through the generator
+    # outputs (D params are stop-gradded), so under sc.remat_loss each
+    # forward is wrapped in jax.checkpoint with the generator output as the
+    # explicit argument: backward recomputes the (cheap) forward instead of
+    # keeping its activations live across the whole fused step.
+    ckpt = jax.checkpoint if sc.remat_loss == "all" else (lambda f: f)
+    ckpt_vgg = (jax.checkpoint if sc.remat_loss in ("vgg", "all")
+                else (lambda f: f))
+
     if not sc.skip_generation:
         d_boxes = batch.boxes
-        pred_fake, _ = _apply(states.d_img, jax.lax.stop_gradient(d_params["img"]),
-                              (img_pred, batch.objs, d_boxes),
-                              {"layout_masks": batch.masks}, train=True)
+
+        def _score_img(img):
+            out, _ = _apply(states.d_img,
+                            jax.lax.stop_gradient(d_params["img"]),
+                            (img, batch.objs, d_boxes),
+                            {"layout_masks": batch.masks}, train=True)
+            return out
+
+        pred_fake = ckpt(_score_img)(img_pred)
         gan_img = criterion(pred_fake, True, for_discriminator=False)
         losses["GAN_Img"] = gan_img * sc.w_d_img
         total = total + losses["GAN_Img"]
 
         if not sc.no_ganFeat_loss:
-            pred_real, _ = _apply(states.d_img,
-                                  jax.lax.stop_gradient(d_params["img"]),
-                                  (batch.imgs, batch.objs, d_boxes),
-                                  {"layout_masks": batch.masks}, train=True)
+            # no gradient flows through the real-image features (they are
+            # stop-gradded below), so no checkpoint is needed here
+            pred_real = _score_img(batch.imgs)
             feat = 0.0
             for i in range(sc.num_D):
                 for j in range(len(pred_fake[i]) - 1):
@@ -281,15 +305,20 @@ def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
             total = total + feat
 
         if not sc.no_vgg_loss:
-            vgg = VGGLoss(vgg_params, dtype=jnp.dtype(sc.compute_dtype))(
-                img_pred, batch.imgs) * sc.lambda_vgg
+            vgg_loss = VGGLoss(vgg_params, dtype=jnp.dtype(sc.compute_dtype))
+            vgg = ckpt_vgg(lambda img: vgg_loss(img, batch.imgs))(
+                img_pred) * sc.lambda_vgg
             losses["VGG"] = vgg
             total = total + vgg
 
         if not sc.use_img_disc and states.d_obj is not None:
-            (scores_fake, real, ac_loss, _), _ = _apply(
-                states.d_obj, jax.lax.stop_gradient(d_params["obj"]),
-                (img_pred, batch.objs, d_boxes), {}, train=True)
+            def _score_obj(img):
+                (sf, real, ac, _), _ = _apply(
+                    states.d_obj, jax.lax.stop_gradient(d_params["obj"]),
+                    (img, batch.objs, d_boxes), {}, train=True)
+                return sf, real, ac
+
+            scores_fake, real, ac_loss = ckpt(_score_obj)(img_pred)
             if sc.gan_mode == "hinge":
                 g_obj = _masked_hinge_g(scores_fake, real)
             else:
@@ -299,9 +328,13 @@ def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
             total = total + losses["GAN_Obj"] + losses["GAN_Ac"]
 
             if states.d_mask is not None and sc.mask_size > 0 and masks_pred is not None:
-                (scores_fake_m, slot_real), _ = _apply(
-                    states.d_mask, jax.lax.stop_gradient(d_params["mask"]),
-                    (batch.objs, masks_pred), {}, train=True)
+                def _score_mask(mp):
+                    (sfm, sr), _ = _apply(
+                        states.d_mask, jax.lax.stop_gradient(d_params["mask"]),
+                        (batch.objs, mp), {}, train=True)
+                    return sfm, sr
+
+                scores_fake_m, slot_real = ckpt(_score_mask)(masks_pred)
                 gan_mask = _masked_multiscale_gan_loss(
                     scores_fake_m, slot_real, True, False, sc.gan_mode)
                 losses["GAN_Mask"] = gan_mask * sc.w_d_img
@@ -355,15 +388,20 @@ def discriminator_losses(sc: StepCfg, states: GanStates, d_params, batch,
     # start) stats rather than threading fake->real: flax recomputes the
     # iteration every forward anyway, and identical seeding makes these
     # forwards CSE-able against the generator-loss D calls in the fused step.
+    # Gradients flow to the D params here, so under sc.remat_loss="all" the
+    # params are the explicit argument of each checkpointed forward (the
+    # image inputs are detached constants).
+    ckpt = jax.checkpoint if sc.remat_loss == "all" else (lambda f: f)
+
     losses = {}
     new_stats = {}
-    pred_fake, _ = _apply(
-        states.d_img, d_params["img"], (img_pred, batch.objs, d_boxes),
-        {"layout_masks": batch.masks}, train=True)
-    gt_real, new_stats["img"] = _apply(
-        states.d_img, d_params["img"],
-        (batch.imgs, batch.objs, d_boxes),
-        {"layout_masks": batch.masks}, train=True)
+
+    def _d_img(params, img):
+        return _apply(states.d_img, params, (img, batch.objs, d_boxes),
+                      {"layout_masks": batch.masks}, train=True)
+
+    pred_fake, _ = ckpt(_d_img)(d_params["img"], img_pred)
+    gt_real, new_stats["img"] = ckpt(_d_img)(d_params["img"], batch.imgs)
     losses["D_img_fake"] = criterion(pred_fake, False, for_discriminator=True)
     losses["D_img_real"] = criterion(gt_real, True, for_discriminator=True)
     total = losses["D_img_fake"] + losses["D_img_real"]
@@ -374,12 +412,14 @@ def discriminator_losses(sc: StepCfg, states: GanStates, d_params, batch,
             criterion(gt_real, False, for_discriminator=True) * 0.25)
 
     if not sc.use_img_disc and states.d_obj is not None:
-        (scores_fake, _, ac_fake, _), _ = _apply(
-            states.d_obj, d_params["obj"], (img_pred, batch.objs, d_boxes),
-            {}, train=True)
-        (scores_real, real, ac_real, _), new_stats["obj"] = _apply(
-            states.d_obj, d_params["obj"], (batch.imgs, batch.objs, d_boxes),
-            {}, train=True)
+        def _d_obj(params, img):
+            return _apply(states.d_obj, params, (img, batch.objs, d_boxes),
+                          {}, train=True)
+
+        (scores_fake, _, ac_fake, _), _ = ckpt(_d_obj)(
+            d_params["obj"], img_pred)
+        (scores_real, real, ac_real, _), new_stats["obj"] = ckpt(_d_obj)(
+            d_params["obj"], batch.imgs)
         d_obj = (_masked_bce(scores_real, 1.0, real)
                  + _masked_bce(scores_fake, 0.0, real)) * 0.5
         losses["D_obj"] = d_obj
@@ -390,12 +430,14 @@ def discriminator_losses(sc: StepCfg, states: GanStates, d_params, batch,
         total = total + obj_total
 
         if states.d_mask is not None and sc.mask_size > 0 and masks_pred is not None:
-            (fake_m, slot_real), _ = _apply(
-                states.d_mask, d_params["mask"], (batch.objs, masks_pred),
-                {}, train=True)
-            (real_m, _), new_stats["mask"] = _apply(
-                states.d_mask, d_params["mask"], (batch.objs, batch.masks),
-                {}, train=True)
+            def _d_mask(params, m):
+                return _apply(states.d_mask, params, (batch.objs, m),
+                              {}, train=True)
+
+            (fake_m, slot_real), _ = ckpt(_d_mask)(
+                d_params["mask"], masks_pred)
+            (real_m, _), new_stats["mask"] = ckpt(_d_mask)(
+                d_params["mask"], batch.masks)
             mask_total = (_masked_multiscale_gan_loss(
                 fake_m, slot_real, False, True, sc.gan_mode) * 0.5
                 + _masked_multiscale_gan_loss(

@@ -153,3 +153,30 @@ def test_gan_multi_step_matches_sequential():
     for a, b in zip(jax.tree.leaves(seq2.d_img.params),
                     jax.tree.leaves(scan2.d_img.params)):
         assert float(abs(np.asarray(a) - np.asarray(b)).max()) <= lr_bound
+
+
+@pytest.mark.parametrize("mode", ["vgg", "all"])
+def test_remat_loss_matches_unremat(mode):
+    """sc.remat_loss only changes the backward schedule (recompute vs save);
+    metrics and parameter updates must match the un-rematerialized step."""
+    cfg, loader, vgg_params = _setup()
+    batch = next(iter(loader))
+    rng = jax.random.PRNGKey(3)
+    sc_on = step_cfg_from_config(cfg)._replace(remat_loss=mode)
+    sc_off = sc_on._replace(remat_loss="none")
+
+    s_on = create_gan_states(cfg, jax.random.PRNGKey(0))
+    s_on, m_on, _ = gan_train_step(s_on, batch, rng, vgg_params, sc=sc_on)
+    s_off = create_gan_states(cfg, jax.random.PRNGKey(0))
+    s_off, m_off, _ = gan_train_step(s_off, batch, rng, vgg_params, sc=sc_off)
+
+    for key in ("total_loss", "VGG", "GAN_Img", "GAN_Feat", "D_img_fake",
+                "D_img_real", "D_obj"):
+        np.testing.assert_allclose(float(m_on[key]), float(m_off[key]),
+                                   rtol=1e-5, err_msg=key)
+    for a, b in zip(jax.tree.leaves(s_on.g.params),
+                    jax.tree.leaves(s_off.g.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_on.d_img.params),
+                    jax.tree.leaves(s_off.d_img.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
