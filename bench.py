@@ -146,7 +146,10 @@ def main():
         num_train_samples=max(4 * batch, 64), min_objects=3, max_objects=10,
         learned_converse=True, learned_transitivity=True,
         no_vgg_loss=False,
-        remat_generator=os.environ.get("BENCH_REMAT", "1") != "0",
+        # measured at batch 8, 256^2: remat off = 52.4 imgs/s/chip vs 44-47
+        # with remat on (the step fits comfortably at batch 8, so recompute
+        # is pure overhead); BENCH_REMAT=1 re-enables it
+        remat_generator=os.environ.get("BENCH_REMAT", "0") != "0",
         use_pallas_splat=os.environ.get("BENCH_PALLAS_SPLAT", "0") == "1",
     )
     ds = get_dataset(cfg.dataset, "train", cfg)
