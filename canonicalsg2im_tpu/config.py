@@ -40,6 +40,9 @@ class Config:
     max_objects: Optional[int] = None
     max_objects_val: Optional[int] = None
     min_object_size: float = 0.02
+    # COCO val2017 -> val/test split: 'reference' uses the reference's
+    # hard-coded val-id list (packed_coco.py:12-90); 'hash' is id-parity
+    coco_val_split: str = "reference"
     debug: bool = False
 
     # VG-specific

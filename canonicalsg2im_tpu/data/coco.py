@@ -17,9 +17,12 @@ Object centers are mask-weighted box centroids (packed_coco.py:338-353);
 masks are decoded by the native codec in data/mask_codec.py. Images are
 ImageNet-normalized as in the reference (packed_coco.py:268-270).
 
-The reference additionally hard-codes a 770-image val-id list to split
-val2017 into val/test (packed_coco.py:12-90); here val/test both read the
-val2017 annotations and a deterministic hash split selects the partition.
+The reference hard-codes a 1024-entry val-id list to split val2017 into
+val/test (packed_coco.py:12-90, applied as val = ids ∩ list / test =
+ids − list in dataset_params.py:188-191). That list ships here as
+``coco_val_ids.json`` and is the default split, so IoU/FID numbers are
+comparable against reference checkpoints; ``val_split="hash"`` selects the
+deterministic image_id-parity split instead.
 """
 from __future__ import annotations
 
@@ -53,6 +56,14 @@ def load_image_imagenet(path, image_size):
     return (arr - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def load_reference_val_ids():
+    """The reference's hard-coded COCO val2017 val-id list
+    (sg2im/data/packed_coco.py:12-90), shipped as split-definition data."""
+    path = os.path.join(os.path.dirname(__file__), "coco_val_ids.json")
+    with open(path) as f:
+        return json.load(f)
+
+
 def resize_mask_nearest(mask, size):
     h, w = mask.shape
     hi = (np.arange(size) * h // size).clip(0, h - 1)
@@ -73,7 +84,8 @@ class CocoSceneGraphDataset:
                  learned_transitivity: bool = False, learned_symmetry: bool = False,
                  use_converse: bool = False,
                  include_relationships: bool = True, max_samples=None,
-                 canonical_sampling: bool = False, seed: int = 0):
+                 canonical_sampling: bool = False, seed: int = 0,
+                 val_split: str = "reference"):
         self.image_dir = image_dir
         self.image_size = tuple(image_size)
         self.packed = packed
@@ -142,8 +154,20 @@ class CocoSceneGraphDataset:
             and min_objects <= len(self.image_id_to_objects[iid]) <= max_objects
         ]
         if partition in ("val", "test"):
-            keep = 0 if partition == "val" else 1
-            self.image_ids = [i for i in self.image_ids if i % 2 == keep]
+            if val_split == "reference":
+                # the reference's hard-coded val-id split
+                # (dataset_params.py:188-191): val keeps ids on the list,
+                # test keeps the rest — order-preserved for determinism
+                val_ids = set(load_reference_val_ids())
+                if partition == "val":
+                    self.image_ids = [i for i in self.image_ids
+                                      if i in val_ids]
+                else:
+                    self.image_ids = [i for i in self.image_ids
+                                      if i not in val_ids]
+            else:  # 'hash': deterministic parity split
+                keep = 0 if partition == "val" else 1
+                self.image_ids = [i for i in self.image_ids if i % 2 == keep]
 
         register_relations(self.vocab)
         self.vocab["attributes"] = {"objects": self.vocab["object_name_to_idx"]}

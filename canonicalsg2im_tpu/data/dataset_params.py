@@ -56,6 +56,7 @@ def get_dataset(name: str, partition: str, cfg: Config):
             min_objects=cfg.min_objects or (16 if packed else 3),
             max_objects=cfg.max_objects or (1000 if packed else 8),
             min_object_size=cfg.min_object_size,
+            val_split=cfg.coco_val_split,
             **common,
         )
     if name in ("vg", "packed_vg"):

@@ -3,10 +3,11 @@
 Pool-3 (2048-d) activations come from the JAX InceptionV3
 (evaluation/inception.py); the Fréchet distance with sqrtm stabilization
 follows fid_score.py:100-160. The reference's FID uses the TF-ported
-"pt_inception" weights with slightly modified pooling blocks
-(evaluation/fid/inception.py) — load ``weights/fid_inception.npz`` for those
-weights in the standard architecture; the pooling deltas are documented
-upstream as <1e-3 FID.
+"pt_inception" weights on a modified architecture (FIDInceptionA/C/E_1/E_2,
+evaluation/fid/inception.py:168-310); ``weights/fid_inception.npz`` loads
+those weights into the architecture-exact ``InceptionV3(variant='fid')``
+graph (count_include_pad=False pools, Mixed_7c max-pool branch, 1008-way
+head). Without FID weights the torchvision variant is the fallback.
 
 Also usable as a CLI over two image directories:
   python -m canonicalsg2im_tpu.evaluation.fid path/to/real path/to/fake
@@ -31,11 +32,15 @@ class FidActivations:
 
     def __init__(self, weights_dir: str = "weights"):
         variables, self.pretrained = load_inception_variables(
-            weights_dir, name="fid_inception.npz")
+            weights_dir, name="fid_inception.npz", variant="fid")
+        variant = "fid"
         if not self.pretrained:
+            # no FID weights converted: fall back to the torchvision weights
+            # (and their matching architecture) rather than random FID params
             variables, self.pretrained = load_inception_variables(weights_dir)
+            variant = "torchvision"
         self.variables = variables
-        model = InceptionV3()
+        model = InceptionV3(variant=variant)
 
         def _acts(variables, imgs):
             x = resize_bilinear(imgs, 299)

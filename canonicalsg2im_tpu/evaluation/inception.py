@@ -40,15 +40,23 @@ def _pad(k):
     return ((k[0], k[0]), (k[1], k[1]))
 
 
-def _avg_pool_3x3_pad1(x):
-    """torch avg_pool2d(3, stride=1, padding=1) with count_include_pad=True."""
-    summed = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
-                         count_include_pad=True)
-    return summed
+def _pool_3x3_pad1(x, mode: str):
+    """The 3x3 stride-1 pad-1 branch pool, in its three variants:
+
+    - 'avg': torch avg_pool2d(count_include_pad=True) — torchvision arch;
+    - 'avg_excl': count_include_pad=False — the TF semantics the FID blocks
+      patch in (reference evaluation/fid/inception.py:185-188 etc.);
+    - 'max': FIDInceptionE_2's max-pool branch swap (inception.py:298-302).
+    """
+    if mode == "max":
+        return nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                       count_include_pad=(mode == "avg"))
 
 
 class InceptionA(nn.Module):
     pool_features: int
+    pool_mode: str = "avg"
 
     @nn.compact
     def __call__(self, x):
@@ -58,7 +66,7 @@ class InceptionA(nn.Module):
         b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
         b3 = BasicConv2d(96, (3, 3), padding=_pad(1), name="branch3x3dbl_2")(b3)
         b3 = BasicConv2d(96, (3, 3), padding=_pad(1), name="branch3x3dbl_3")(b3)
-        bp = _avg_pool_3x3_pad1(x)
+        bp = _pool_3x3_pad1(x, self.pool_mode)
         bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
@@ -76,6 +84,7 @@ class InceptionB(nn.Module):
 
 class InceptionC(nn.Module):
     c7: int
+    pool_mode: str = "avg"
 
     @nn.compact
     def __call__(self, x):
@@ -95,7 +104,7 @@ class InceptionC(nn.Module):
                          name="branch7x7dbl_4")(bd)
         bd = BasicConv2d(192, (1, 7), padding=((0, 0), (3, 3)),
                          name="branch7x7dbl_5")(bd)
-        bp = _avg_pool_3x3_pad1(x)
+        bp = _pool_3x3_pad1(x, self.pool_mode)
         bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
@@ -116,6 +125,8 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    pool_mode: str = "avg"
+
     @nn.compact
     def __call__(self, x):
         b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x)
@@ -133,17 +144,27 @@ class InceptionE(nn.Module):
         bdb = BasicConv2d(384, (3, 1), padding=((1, 1), (0, 0)),
                           name="branch3x3dbl_3b")(bd)
         bd = jnp.concatenate([bda, bdb], axis=-1)
-        bp = _avg_pool_3x3_pad1(x)
+        bp = _pool_3x3_pad1(x, self.pool_mode)
         bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
 class InceptionV3(nn.Module):
-    """torchvision inception_v3 body. Returns (logits (N, 1000),
-    pool (N, 2048)); images NHWC in [-1, 1] are resized to 299 by callers."""
+    """torchvision inception_v3 body. Returns (logits, pool (N, 2048));
+    images NHWC in [-1, 1] are resized to 299 by callers.
+
+    ``variant='fid'`` reproduces the exact FID-Inception architecture the
+    reference's FID weights require (evaluation/fid/inception.py:168-310):
+    the A/C blocks and Mixed_7b use TF avg-pool semantics
+    (count_include_pad=False), Mixed_7c swaps its pool branch to max-pool,
+    and the classifier head is 1008-way (the TF-ported weights)."""
+
+    variant: str = "torchvision"  # 'torchvision' | 'fid'
 
     @nn.compact
     def __call__(self, x):
+        fid = self.variant == "fid"
+        ac_pool = "avg_excl" if fid else "avg"
         x = BasicConv2d(32, (3, 3), stride=(2, 2), name="Conv2d_1a_3x3")(x)
         x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
         x = BasicConv2d(64, (3, 3), padding=_pad(1), name="Conv2d_2b_3x3")(x)
@@ -151,27 +172,28 @@ class InceptionV3(nn.Module):
         x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
         x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = InceptionA(32, name="Mixed_5b")(x)
-        x = InceptionA(64, name="Mixed_5c")(x)
-        x = InceptionA(64, name="Mixed_5d")(x)
+        x = InceptionA(32, ac_pool, name="Mixed_5b")(x)
+        x = InceptionA(64, ac_pool, name="Mixed_5c")(x)
+        x = InceptionA(64, ac_pool, name="Mixed_5d")(x)
         x = InceptionB(name="Mixed_6a")(x)
-        x = InceptionC(128, name="Mixed_6b")(x)
-        x = InceptionC(160, name="Mixed_6c")(x)
-        x = InceptionC(160, name="Mixed_6d")(x)
-        x = InceptionC(192, name="Mixed_6e")(x)
+        x = InceptionC(128, ac_pool, name="Mixed_6b")(x)
+        x = InceptionC(160, ac_pool, name="Mixed_6c")(x)
+        x = InceptionC(160, ac_pool, name="Mixed_6d")(x)
+        x = InceptionC(192, ac_pool, name="Mixed_6e")(x)
         x = InceptionD(name="Mixed_7a")(x)
-        x = InceptionE(name="Mixed_7b")(x)
-        x = InceptionE(name="Mixed_7c")(x)
+        x = InceptionE(ac_pool, name="Mixed_7b")(x)
+        x = InceptionE("max" if fid else "avg", name="Mixed_7c")(x)
         pool = x.mean(axis=(1, 2))  # adaptive avg pool to 1x1
-        logits = nn.Dense(1000, name="fc")(pool)
+        logits = nn.Dense(1008 if fid else 1000, name="fc")(pool)
         return logits, pool
 
 
 def load_inception_variables(weights_dir: str,
                              name: str = "inception_v3.npz",
-                             rng_seed: int = 7):
+                             rng_seed: int = 7,
+                             variant: str = "torchvision"):
     """Returns ({'params', 'batch_stats'}, pretrained: bool)."""
-    model = InceptionV3()
+    model = InceptionV3(variant=variant)
     variables = model.init(jax.random.PRNGKey(rng_seed),
                            jnp.zeros((1, 299, 299, 3)))
     path = os.path.join(weights_dir, name)

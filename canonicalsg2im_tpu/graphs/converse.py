@@ -114,3 +114,65 @@ def sample_converse_triplets(
     src = triplets[keep]
     converse = np.stack([src[:, 2], draws[keep], src[:, 0]], axis=1)
     return list(converse), conv_counts
+
+
+def converse_probability_table(converse_weights, vocab,
+                               non_meta_rels: Sequence[int]):
+    """Human-readable converse probability tables per relation.
+
+    Mirrors the reference's checkpoint-time diagnostics
+    (`compute_converse_edges`/`print_compute_converse_edges`,
+    sg2im/data/utils.py:127-151): for every non-meta relation, the softmax
+    probability of each candidate converse relation plus the "No Edge" option.
+
+    Returns {relation_name: {candidate_name|'No Edge': prob}}.
+    """
+    names = vocab["pred_idx_to_name"]
+    prob = np.asarray(converse_prob(np.asarray(converse_weights),
+                                    non_meta_rels))
+    P = len(names)
+    entry = {}
+    for i in range(P):
+        if names[i] in ("__padding__", "__in_image__"):
+            continue
+        row = {}
+        for j in range(P + 1):
+            if j == P:
+                row["No Edge"] = float(prob[i, j])
+            elif names[j] in ("__padding__", "__in_image__") or i == j:
+                continue
+            else:
+                row[names[j]] = float(prob[i, j])
+        entry[names[i]] = row
+    return entry
+
+
+def transitive_probability_table(trans_weights, vocab):
+    """{relation_name: sigmoid(trans_weight)} for non-meta relations
+    (reference `compute_transitive_edges`, sg2im/data/utils.py:117-124;
+    the GCN applies sigmoid(w) as the transitive-edge confidence)."""
+    names = vocab["pred_idx_to_name"]
+    w = np.asarray(trans_weights, np.float64)
+    sig = 1.0 / (1.0 + np.exp(-w))
+    return {names[i]: float(sig[i]) for i in range(len(names))
+            if names[i] not in ("__padding__", "__in_image__")}
+
+
+def format_probability_tables(converse_weights, trans_weights, vocab,
+                              non_meta_rels: Sequence[int]) -> str:
+    """One printable block of both tables (checkpoint-time diagnostic)."""
+    lines = []
+    if converse_weights is not None:
+        lines.append("learned converse probabilities:")
+        table = converse_probability_table(converse_weights, vocab,
+                                           non_meta_rels)
+        for rel, row in table.items():
+            pretty = ", ".join(f"{k}: {v:.3f}" for k, v in sorted(
+                row.items(), key=lambda kv: -kv[1]))
+            lines.append(f"  {rel}: {pretty}")
+    if trans_weights is not None:
+        lines.append("learned transitivity sigmoid(w):")
+        for rel, v in transitive_probability_table(trans_weights,
+                                                   vocab).items():
+            lines.append(f"  {rel}: {v:.3f}")
+    return "\n".join(lines)

@@ -80,7 +80,14 @@ class NLayerDiscriminator(nn.Module):
 
 
 class MultiscaleDiscriminator(nn.Module):
-    """discriminator.py:66-131."""
+    """discriminator.py:66-131.
+
+    The layout ``seg`` depends only on (objs, boxes, masks) and the D's own
+    embedding params — NOT on the scored image — so one training step's four
+    image-D forwards (fake/real x G-loss/D-loss) share a single seg. Callers
+    build it once via ``apply(..., method=MultiscaleDiscriminator.seg_layout)``
+    and pass it through ``seg=``; with ``seg=None`` the forward is
+    self-contained, matching the reference call shape."""
 
     vocab: Dict
     embedding_dim: int = 32
@@ -91,20 +98,32 @@ class MultiscaleDiscriminator(nn.Module):
     norm_D: str = "spectralinstance"
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.attribute_embedding = AttributeEmbeddings(
+            self.vocab["attributes"], self.embedding_dim,
+            use_attr_fc_gen=True)
+        self.discriminators = [
+            NLayerDiscriminator(self.ndf, self.n_layers_D, self.norm_D,
+                                dtype=self.dtype, name=f"discriminator_{i}")
+            for i in range(self.num_D)]
+
+    def seg_layout(self, objs, layout_boxes, layout_masks=None):
+        """(objs, boxes[, masks]) -> (B, H, W, semantic_nc) layout seg, using
+        this discriminator's own attribute embedding (discriminator.py:100-119)."""
+        obj_vecs = self.attribute_embedding(objs)
+        return build_seg_layout(obj_vecs, objs, layout_boxes, layout_masks,
+                                self.image_size, test_mode=False,
+                                dtype=self.dtype)
+
     def __call__(self, img, objs, layout_boxes, layout_masks=None, *,
-                 train: bool = True) -> List[List[jnp.ndarray]]:
-        obj_vecs = AttributeEmbeddings(self.vocab["attributes"],
-                                       self.embedding_dim, use_attr_fc_gen=True,
-                                       name="attribute_embedding")(objs)
-        seg = build_seg_layout(obj_vecs, objs, layout_boxes, layout_masks,
-                               self.image_size, test_mode=False)
-        x = jnp.concatenate([img, seg], axis=-1)
+                 seg=None, train: bool = True) -> List[List[jnp.ndarray]]:
+        if seg is None:
+            seg = self.seg_layout(objs, layout_boxes, layout_masks)
+        x = jnp.concatenate([img.astype(self.dtype), seg.astype(self.dtype)],
+                            axis=-1)
         results = []
         for i in range(self.num_D):
-            results.append(NLayerDiscriminator(
-                self.ndf, self.n_layers_D, self.norm_D, dtype=self.dtype,
-                name=f"discriminator_{i}")(x, train=train))
+            results.append(self.discriminators[i](x, train=train))
             if i + 1 < self.num_D:
                 x = avg_pool_3x3_s2(x)
         return results

@@ -69,10 +69,13 @@ class SPADE(nn.Module):
     def __call__(self, x, segmap, train: bool = True):
         parsed = re.search(r"spade(\D+)(\d)x\d", self.config_text)
         norm_kind, ks = str(parsed.group(1)), int(parsed.group(2))
-        normalized = ParamFreeNorm(norm_kind)(x.astype(jnp.float32),
-                                              train=train)
+        # statistics always in float32; the normalized map and the affine ride
+        # the compute dtype (bf16 on TPU — the saved-for-backward activations
+        # of the resblock pyramid are the GAN step's largest HBM consumers)
+        normalized = ParamFreeNorm(norm_kind)(
+            x.astype(jnp.float32), train=train).astype(self.dtype)
 
-        seg = resize_nearest(segmap, x.shape[1:3])
+        seg = resize_nearest(segmap, x.shape[1:3]).astype(self.dtype)
         nhidden = 128
         actv = nn.relu(nn.Conv(nhidden, (ks, ks), padding="SAME",
                                dtype=self.dtype, name="mlp_shared")(seg))
@@ -80,8 +83,7 @@ class SPADE(nn.Module):
                         dtype=self.dtype, name="mlp_gamma")(actv)
         beta = nn.Conv(self.norm_nc, (ks, ks), padding="SAME",
                        dtype=self.dtype, name="mlp_beta")(actv)
-        return (normalized * (1.0 + gamma.astype(jnp.float32))
-                + beta.astype(jnp.float32))
+        return normalized * (1.0 + gamma) + beta
 
 
 class SPADEResnetBlock(nn.Module):
@@ -134,18 +136,33 @@ def num_up_layers(num_upsampling_layers: str) -> int:
 
 
 def build_seg_layout(obj_vecs, objs, layout_boxes, layout_masks, image_size,
-                     test_mode: bool, use_pallas: bool = False):
+                     test_mode: bool, use_pallas: bool = False,
+                     dtype=jnp.float32):
     """Object vectors -> spatial seg map, boxes or masks path
     (generator.py:81-96 / discriminator.py:100-119).
 
     ``use_pallas`` routes the boxes path through the sparse Pallas splat
     kernel (ops/pallas_splat.py) when the canvas tiles evenly; exact same
-    numerics, work proportional to covered area instead of O x H x W."""
+    numerics, work proportional to covered area instead of O x H x W.
+    ``dtype`` is the seg compute/storage dtype (bf16 on TPU halves the HBM
+    footprint of the largest single activation in the GAN step)."""
     real = (objs[..., 0] != 0).astype(obj_vecs.dtype)
     if layout_masks is not None:
+        if use_pallas and not test_mode:
+            from canonicalsg2im_tpu.ops.pallas_splat import (
+                mask_splat_supported, masks_to_layout_pallas)
+
+            B, O, D = obj_vecs.shape
+            M = layout_masks.shape[-1]
+            if mask_splat_supported(image_size[0], image_size[0], D, O, M):
+                masked_vecs = obj_vecs * real[..., None]
+                return masks_to_layout_pallas(
+                    masked_vecs, layout_boxes, layout_masks,
+                    image_size[0], image_size[0]).astype(dtype)
         return masks_to_layout(obj_vecs, layout_boxes, layout_masks,
                                image_size[0], image_size[0],
-                               real_mask=real, test_mode=test_mode)
+                               real_mask=real, test_mode=test_mode,
+                               dtype=dtype)
     masked_vecs = obj_vecs * real[..., None]
     if use_pallas:
         from canonicalsg2im_tpu.ops.pallas_splat import (
@@ -153,9 +170,11 @@ def build_seg_layout(obj_vecs, objs, layout_boxes, layout_masks, image_size,
 
         if splat_supported(image_size[0], image_size[0]):
             return boxes_to_layout_pallas(masked_vecs, layout_boxes,
-                                          image_size[0], image_size[0])
+                                          image_size[0],
+                                          image_size[0]).astype(dtype)
     return boxes_to_layout(masked_vecs, layout_boxes,
-                           image_size[0], image_size[0], real_mask=real)
+                           image_size[0], image_size[0], real_mask=real,
+                           dtype=dtype)
 
 
 class SPADEGenerator(nn.Module):
@@ -194,18 +213,21 @@ class SPADEGenerator(nn.Module):
                                        name="attribute_embedding")(objs)
         seg = build_seg_layout(obj_vecs, objs, layout_boxes, layout_masks,
                                self.image_size, test_mode,
-                               use_pallas=self.use_pallas_splat)
+                               use_pallas=self.use_pallas_splat,
+                               dtype=self.dtype)
 
         if self.use_vae:
             if z is None:
                 z = jax.random.normal(self.make_rng("noise"),
                                       (objs.shape[0], self.z_dim))
             x = nn.Dense(16 * nf * sw * sh, name="fc")(z)
-            x = x.reshape(objs.shape[0], sh, sw, 16 * nf)
+            x = x.reshape(objs.shape[0], sh, sw, 16 * nf).astype(self.dtype)
         else:
+            # the pyramid carries the compute dtype; every norm re-derives
+            # float32 statistics internally (ParamFreeNorm)
             x = resize_nearest(seg, (sh, sw))
             x = nn.Conv(16 * nf, (3, 3), padding="SAME", dtype=self.dtype,
-                        name="fc")(x).astype(jnp.float32)
+                        name="fc")(x)
 
         # jax.checkpoint each resblock: trade recompute for HBM — the
         # backward pass otherwise keeps every conv activation of the

@@ -78,18 +78,24 @@ def load_vgg_params(weights_dir: str, rng_seed: int = 42,
 
 
 class VGGLoss:
-    """Weighted multi-layer L1 perceptual loss (spade loss.py:102-117)."""
+    """Weighted multi-layer L1 perceptual loss (spade loss.py:102-117).
+
+    x and y ride ONE batched VGG forward (the net is pure convs — batching is
+    exact); only the x half carries gradient, matching the reference's
+    ``y.detach()``."""
 
     def __init__(self, params, dtype=jnp.float32):
         self.params = params
         self.model = VGG19Features(dtype=dtype)
 
     def __call__(self, x, y):
-        fx = self.model.apply({"params": self.params}, x)
-        fy = self.model.apply({"params": self.params}, y)
+        B = x.shape[0]
+        both = jnp.concatenate([x, jax.lax.stop_gradient(y)], axis=0)
+        feats = self.model.apply({"params": self.params}, both)
         loss = 0.0
-        for w, a, b in zip(VGG_LOSS_WEIGHTS, fx, fy):
-            loss = loss + w * jnp.abs(a - jax.lax.stop_gradient(b)).mean()
+        for w, f in zip(VGG_LOSS_WEIGHTS, feats):
+            loss = loss + w * jnp.abs(
+                f[:B] - jax.lax.stop_gradient(f[B:])).mean()
         return loss
 
 

@@ -67,7 +67,7 @@ def box_coverage(boxes, H: int, W: int, src_size: int = TILE):
 
 
 def boxes_to_layout(vecs, boxes, H: int, W: int | None = None, *,
-                    real_mask=None, obj_chunk: int = 64):
+                    real_mask=None, obj_chunk: int = 64, dtype=None):
     """Splat object vectors into a spatial layout (reference boxes_to_layout,
     sg2im/layout.py:12-45, pooling='sum').
 
@@ -76,6 +76,10 @@ def boxes_to_layout(vecs, boxes, H: int, W: int | None = None, *,
         zeroed by the caller OR carry boxes with zero coverage (both hold in
         this framework).
       boxes: (B, O, 4) xywh in [0, 1].
+      dtype: output dtype (bf16 on TPU halves the layout's HBM footprint —
+        it is the GAN step's largest single activation). The einsums
+        themselves stay float32: XLA:TPU fuses the final cast for free, and
+        XLA:CPU cannot execute bf16 x bf16 dots at all.
     Returns:
       (B, H, W, D) layout, sum-pooled over objects.
     """
@@ -87,6 +91,8 @@ def boxes_to_layout(vecs, boxes, H: int, W: int | None = None, *,
         # drop dummy/padding objects regardless of their (possibly predicted)
         # boxes — the static-shape analogue of remove_dummy_objects
         cov_y = cov_y * real_mask[..., None]
+    vecs = vecs.astype(jnp.float32)
+    out_dtype = jnp.float32 if dtype is None else jnp.dtype(dtype)
 
     chunk = min(obj_chunk, O)
     if O % chunk:
@@ -107,7 +113,7 @@ def boxes_to_layout(vecs, boxes, H: int, W: int | None = None, *,
     split = lambda a: a.reshape(B, n_chunks, chunk, *a.shape[2:]).swapaxes(0, 1)
     init = jnp.zeros((B, H, W, D), dtype=jnp.float32)
     out, _ = jax.lax.scan(body, init, (split(vecs), split(cov_y), split(cov_x)))
-    return out
+    return out.astype(out_dtype)
 
 
 def _interp_matrix(x_pix, src_size: int):
@@ -147,7 +153,7 @@ def sample_masks(masks, boxes, H: int, W: int):
 
 
 def masks_to_layout(vecs, boxes, masks, H: int, W: int | None = None, *,
-                    real_mask=None, test_mode: bool = False):
+                    real_mask=None, test_mode: bool = False, dtype=None):
     """Mask-shaped splat (reference masks_to_layout, sg2im/layout.py:48-77).
 
     Training mode sum-pools ``vec ⊗ sampled_mask`` over objects. Test mode
@@ -161,12 +167,14 @@ def masks_to_layout(vecs, boxes, masks, H: int, W: int | None = None, *,
     """
     if W is None:
         W = H
+    out_dtype = jnp.float32 if dtype is None else jnp.dtype(dtype)
     sampled = sample_masks(masks.astype(jnp.float32), boxes, H, W)  # (B,O,H,W)
     if real_mask is not None:
         sampled = sampled * real_mask[:, :, None, None]
     if not test_mode:
-        return jnp.einsum("bohw,bod->bhwd", sampled, vecs,
-                          preferred_element_type=jnp.float32)
+        return jnp.einsum("bohw,bod->bhwd", sampled,
+                          vecs.astype(jnp.float32),
+                          preferred_element_type=jnp.float32).astype(out_dtype)
 
     # total mass of each object's splat: sum_d vec[o,d] * sum_hw mask
     mass = jnp.sum(vecs, axis=-1) * jnp.sum(sampled, axis=(-2, -1))  # (B, O)
@@ -178,5 +186,5 @@ def masks_to_layout(vecs, boxes, masks, H: int, W: int | None = None, *,
     any_hit = jnp.any(indicator, axis=1)                     # (B, H, W)
     one_hot = jax.nn.one_hot(winner, sampled.shape[1], axis=1) * any_hit[:, None]
     chosen = sampled * one_hot                               # (B, O, H, W)
-    return jnp.einsum("bohw,bod->bhwd", chosen, vecs,
-                      preferred_element_type=jnp.float32)
+    return jnp.einsum("bohw,bod->bhwd", chosen, vecs.astype(jnp.float32),
+                      preferred_element_type=jnp.float32).astype(out_dtype)

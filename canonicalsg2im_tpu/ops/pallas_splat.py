@@ -27,6 +27,8 @@ from canonicalsg2im_tpu.ops.layout import TILE, box_coverage
 TH = 128  # tile height (128-aligned so lane-dim slices are provably aligned)
 TW = 128  # tile width (lane width)
 TD = 64   # max feature width per pallas_call (bounds the VMEM output block)
+TDL = 128  # NHWC-variant feature chunk (the output block's lane dim)
+O_MAX_NHWC = 64  # VMEM bound for the NHWC kernel's (TH, TW, O) broadcast
 
 
 def _kernel(bounds_ref, vecs_ref, cov_y_ref, cov_x_ref, out_ref):
@@ -80,6 +82,89 @@ def _kernel(bounds_ref, vecs_ref, cov_y_ref, cov_x_ref, out_ref):
         out_ref[...] = out
 
 
+def _kernel_nhwc(bounds_ref, vecs_ref, cy_t_ref, cx_t_ref, out_ref):
+    """One (b, th, tw, dchunk) tile, written NHWC directly.
+
+    out[h, w, d] = sum_o cyT[h, o] * cxT[w, o] * v[o, d], computed as a
+    dot_general batched over h: (TH, TW, O) x (TH, O, TDL) -> (TH, TW, TDL).
+    No in- or post-kernel transposes: coverage arrives host-transposed
+    ((H, O) / (W, O), tiny arrays) and the output block's minor dim is the
+    feature chunk — a native NHWC lane layout.
+
+    bounds_ref: scalar-prefetch (B, O, 4) int32 [y_lo, y_hi, x_lo, x_hi]
+    vecs_ref:  (O, TDL) VMEM feature chunk
+    cy_t_ref:  (TH, O) VMEM (transposed coverage rows for this tile)
+    cx_t_ref:  (TW, O) VMEM
+    out_ref:   (TH, TW, TDL) VMEM
+    """
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    O = vecs_ref.shape[0]
+
+    def count_overlaps(o, acc):
+        y_lo = bounds_ref[b, o, 0]
+        y_hi = bounds_ref[b, o, 1]
+        x_lo = bounds_ref[b, o, 2]
+        x_hi = bounds_ref[b, o, 3]
+        hit = jnp.logical_and(
+            jnp.logical_and(y_lo < ti * TH + TH, y_hi > ti * TH),
+            jnp.logical_and(x_lo < tj * TW + TW, x_hi > tj * TW))
+        return acc + hit.astype(jnp.int32)
+
+    n_hit = jax.lax.fori_loop(0, O, count_overlaps, 0)
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(n_hit > 0)
+    def _():
+        cy = cy_t_ref[...]                                # (TH, O)
+        cx = cx_t_ref[...]                                # (TW, O)
+        v = vecs_ref[...]                                 # (O, TDL)
+        lhs = cx[None, :, :] * cy[:, None, :]             # (TH, TW, O) VPU
+        rhs = jnp.broadcast_to(v[None], (cy.shape[0],) + v.shape)
+        out_ref[...] = jax.lax.dot_general(
+            lhs, rhs,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # (TH, TW, TDL) MXU
+
+
+def _splat_fwd_nhwc(vecs, boxes, H: int, W: int, interpret):
+    """NHWC-direct forward: used when D is a multiple of TDL and O is small
+    enough for the (TH, TW, O) VMEM broadcast."""
+    B, O, D = vecs.shape
+    cov_y, cov_x = box_coverage(boxes, H, W)              # (B,O,H), (B,O,W)
+    bounds = _coverage_bounds(boxes, H, W)
+    cy_t = jnp.swapaxes(cov_y, 1, 2)                      # (B, H, O)
+    cx_t = jnp.swapaxes(cov_x, 1, 2)                      # (B, W, O)
+
+    def kernel(bounds_ref, vecs_ref, cy_ref, cx_ref, out_ref):
+        _kernel_nhwc(bounds_ref, vecs_ref.at[0], cy_ref.at[0], cx_ref.at[0],
+                     out_ref.at[0])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H // TH, W // TW, D // TDL),
+        in_specs=[
+            pl.BlockSpec((1, O, TDL), lambda b, i, j, k, _: (b, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, O), lambda b, i, j, k, _: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TW, O), lambda b, i, j, k, _: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TH, TW, TDL),
+                               lambda b, i, j, k, _: (b, i, j, k),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, D), jnp.float32),
+        interpret=interpret,
+    )(bounds, vecs.astype(jnp.float32), cy_t, cx_t)
+
+
 def _coverage_bounds(boxes, H: int, W: int):
     """Integer pixel support of each object's trapezoid coverage (B, O, 4).
 
@@ -105,6 +190,8 @@ def _splat_fwd_impl(vecs, boxes, H: int, W: int, interpret):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, O, D = vecs.shape
+    if D % TDL == 0 and O <= O_MAX_NHWC:
+        return _splat_fwd_nhwc(vecs, boxes, H, W, interpret)
     cov_y, cov_x = box_coverage(boxes, H, W)          # (B,O,H), (B,O,W)
     bounds = _coverage_bounds(boxes, H, W)
 
@@ -204,3 +291,163 @@ boxes_to_layout_pallas.defvjp(_splat_fwd, _splat_bwd)
 
 def splat_supported(H: int, W: int) -> bool:
     return H % TH == 0 and W % TW == 0
+
+
+# ----------------------------------------------------------- mask-path splat
+
+def _mask_bounds(boxes, H: int, W: int, M: int):
+    """Pixel support of each mask's bilinear sample (zero outside
+    pix in (-1, M), the grid_sample zero-padding support)."""
+    def axis_bounds(start, size, n):
+        margin = size / (M - 1)
+        lo = (start - margin) * (n - 1)
+        hi = (start + size + margin) * (n - 1) + 1.0
+        bad = size <= 0
+        lo = jnp.where(bad, n, lo)
+        hi = jnp.where(bad, -1, hi)
+        return (jnp.clip(jnp.floor(lo), 0, n).astype(jnp.int32),
+                jnp.clip(jnp.ceil(hi), -1, n).astype(jnp.int32))
+
+    y_lo, y_hi = axis_bounds(boxes[..., 1], boxes[..., 3], H)
+    x_lo, x_hi = axis_bounds(boxes[..., 0], boxes[..., 2], W)
+    return jnp.stack([y_lo, y_hi, x_lo, x_hi], axis=-1)
+
+
+def _interp_rows(pix, M: int):
+    """(N, M) bilinear tap matrix for pixel coords pix (N,) — the in-kernel
+    twin of ops.layout._interp_matrix (taps outside [0, M-1] drop out via the
+    failed equality, i.e. grid_sample zero padding)."""
+    ix0 = jnp.floor(pix)
+    w1 = pix - ix0
+    w0 = 1.0 - w1
+    m = jax.lax.broadcasted_iota(jnp.float32, (pix.shape[0], M), 1)
+    return ((m == ix0[:, None]) * w0[:, None]
+            + (m == ix0[:, None] + 1.0) * w1[:, None])
+
+
+def _kernel_masks(bounds_ref, boxes_ref, vecs_ref, masks_ref, out_ref, *,
+                  H: int, W: int):
+    """One (b, th, tw, dchunk) tile of the mask-path splat, NHWC-direct.
+
+    out[h, w, d] = sum_o sample(mask_o, box_o)[h, w] * v[o, d]; each object's
+    (TH, TW) sampled-mask tile is produced by two small interpolation matmuls
+    and accumulated with a VPU broadcast multiply. Objects whose mask support
+    misses the tile are skipped entirely (scalar test on prefetched bounds).
+
+    bounds_ref: scalar-prefetch (B, O, 4) int32
+    boxes_ref:  scalar-prefetch (B, O, 4) float32 xywh
+    vecs_ref:   (O, TDL) VMEM
+    masks_ref:  (O, M, M) VMEM
+    out_ref:    (TH, TW, TDL) VMEM
+    """
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    O, M, _ = masks_ref.shape
+
+    y_idx = jax.lax.broadcasted_iota(jnp.float32, (TH, 1), 0) + ti * TH
+    x_idx = jax.lax.broadcasted_iota(jnp.float32, (TW, 1), 0) + tj * TW
+    u_y = y_idx[:, 0] / (H - 1)
+    u_x = x_idx[:, 0] / (W - 1)
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def body(o, _):
+        y_lo = bounds_ref[b, o, 0]
+        y_hi = bounds_ref[b, o, 1]
+        x_lo = bounds_ref[b, o, 2]
+        x_hi = bounds_ref[b, o, 3]
+        hit = jnp.logical_and(
+            jnp.logical_and(y_lo < ti * TH + TH, y_hi > ti * TH),
+            jnp.logical_and(x_lo < tj * TW + TW, x_hi > tj * TW))
+
+        @pl.when(hit)
+        def _():
+            x0 = boxes_ref[b, o, 0]
+            y0 = boxes_ref[b, o, 1]
+            w = boxes_ref[b, o, 2]
+            h = boxes_ref[b, o, 3]
+            safe_w = jnp.where(w == 0, 1.0, w)
+            safe_h = jnp.where(h == 0, 1.0, h)
+            pix_y = (u_y - y0) / safe_h * (M - 1)
+            pix_x = (u_x - x0) / safe_w * (M - 1)
+            rows_y = _interp_rows(pix_y, M)               # (TH, M)
+            rows_x = _interp_rows(pix_x, M)               # (TW, M)
+            mo = masks_ref[o]                             # (M, M)
+            tmp = jnp.dot(rows_y, mo,
+                          preferred_element_type=jnp.float32)  # (TH, M)
+            tile = jax.lax.dot_general(
+                tmp, rows_x,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (TH, TW)
+            v = vecs_ref[o]                               # (TDL,)
+            out_ref[...] += tile[:, :, None] * v[None, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, O, body, 0)
+
+
+def _mask_splat_fwd_impl(vecs, boxes, masks, H: int, W: int, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, O, D = vecs.shape
+    M = masks.shape[-1]
+    bounds = _mask_bounds(boxes, H, W, M)
+
+    def kernel(bounds_ref, boxes_ref, vecs_ref, masks_ref, out_ref):
+        _kernel_masks(bounds_ref, boxes_ref, vecs_ref.at[0], masks_ref.at[0],
+                      out_ref.at[0], H=H, W=W)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, H // TH, W // TW, D // TDL),
+        in_specs=[
+            pl.BlockSpec((1, O, TDL), lambda b, i, j, k, *_: (b, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, O, M, M), lambda b, i, j, k, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TH, TW, TDL),
+                               lambda b, i, j, k, *_: (b, i, j, k),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, D), jnp.float32),
+        interpret=interpret,
+    )(bounds, boxes.astype(jnp.float32), vecs.astype(jnp.float32),
+      masks.astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def masks_to_layout_pallas(vecs, boxes, masks, H: int, W: int,
+                           interpret: bool | None = None):
+    """Drop-in for ops.layout.masks_to_layout (training mode, sum pooling) as
+    a sparse Pallas kernel: work proportional to total mask support instead of
+    O x H x W. Same bilinear zero-padding semantics as the dense path
+    (reference masks_to_layout, sg2im/layout.py:48-77)."""
+    return _mask_splat_fwd_impl(vecs, boxes, masks, H, W, interpret)
+
+
+def _mask_splat_fwd(vecs, boxes, masks, H, W, interpret):
+    return (_mask_splat_fwd_impl(vecs, boxes, masks, H, W, interpret),
+            (vecs, boxes, masks))
+
+
+def _mask_splat_bwd(H, W, interpret, res, g):
+    """Exact dense backward: VJP of the (numerically identical) einsum path."""
+    from canonicalsg2im_tpu.ops.layout import masks_to_layout
+
+    vecs, boxes, masks = res
+    _, vjp = jax.vjp(
+        lambda v, b, m: masks_to_layout(v, b, m, H, W), vecs, boxes, masks)
+    return vjp(g)
+
+
+masks_to_layout_pallas.defvjp(_mask_splat_fwd, _mask_splat_bwd)
+
+
+def mask_splat_supported(H: int, W: int, D: int, O: int, M: int) -> bool:
+    return (H % TH == 0 and W % TW == 0 and D % TDL == 0
+            and O <= O_MAX_NHWC and M >= 2)

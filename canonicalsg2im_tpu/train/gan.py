@@ -78,6 +78,7 @@ class StepCfg(NamedTuple):
     use_gt_boxes: bool = True
     use_gt_masks: bool = True
     compute_dtype: str = "float32"
+    norm_D: str = "spectralinstance"
     # Rematerialize loss-side network forwards instead of saving their
     # activations for backward: "none" | "vgg" | "all". The fused step runs
     # at the HBM ceiling (temp 13.7G of 15.75G at 256^2 batch 16; the VGG
@@ -114,6 +115,7 @@ def step_cfg_from_config(cfg: Config) -> StepCfg:
         use_gt_boxes=not cfg.skip_graph_model or cfg.isTrain,
         use_gt_masks=cfg.mask_size > 0,
         compute_dtype=cfg.compute_dtype,
+        norm_D=cfg.norm_D,
     )
 
 
@@ -230,14 +232,31 @@ def _masked_bce(scores, target: float, mask):
     return (loss * m).sum() / jnp.maximum(m.sum(), 1.0)
 
 
+def seg_for_d_img(states: GanStates, d_img_params, batch):
+    """Build the image-D's layout seg ONCE per step.
+
+    The seg depends only on (objs, boxes, masks) and the D's embedding params
+    — not on the scored image — so the step's four image-D forwards
+    (fake/real x G-loss/D-loss) share one seg instead of rebuilding the
+    (B, H, W, semantic_nc) coverage tensors in every forward (the HBM
+    live-set reduction of docs/ROUND1_NOTES.md)."""
+    variables = {"params": d_img_params}
+    if states.d_img.batch_stats:
+        variables["batch_stats"] = states.d_img.batch_stats
+    return states.d_img.apply_fn(variables, batch.objs, batch.boxes,
+                                 batch.masks, method="seg_layout")
+
+
 def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
-                     vgg_params, d_params=None):
+                     vgg_params, d_params=None, seg_img=None):
     """compute_generator_loss (pix2pix_model.py:65-143).
 
     ``d_params`` supplies the discriminator parameters to score against
     (stop-gradded here); defaults to the live state params. Passing the same
     tensors that the discriminator pass differentiates lets XLA CSE the
-    duplicated D forwards when both passes live in one jit.
+    duplicated D forwards when both passes live in one jit. ``seg_img`` is the
+    precomputed image-D layout seg (see :func:`seg_for_d_img`); it is
+    stop-gradded here like the rest of the D parameters.
     """
     if d_params is None:
         d_params = {"img": states.d_img.params if states.d_img else None,
@@ -278,23 +297,43 @@ def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
 
     if not sc.skip_generation:
         d_boxes = batch.boxes
+        B = batch.imgs.shape[0]
+        seg_frozen = (jax.lax.stop_gradient(seg_img)
+                      if seg_img is not None else None)
+        # instance/spectral norms are per-sample, so fake and real ride ONE
+        # batched D forward (halves the D kernel count per step); batch-norm
+        # discriminators keep the reference's separate forwards to preserve
+        # their per-forward statistics
+        batch_fr = seg_frozen is not None and "batch" not in sc.norm_D
 
         def _score_img(img):
+            n_rep = img.shape[0] // B
+            seg = (jnp.concatenate([seg_frozen] * n_rep, axis=0)
+                   if n_rep > 1 else seg_frozen)
             out, _ = _apply(states.d_img,
                             jax.lax.stop_gradient(d_params["img"]),
                             (img, batch.objs, d_boxes),
-                            {"layout_masks": batch.masks}, train=True)
+                            {"layout_masks": batch.masks, "seg": seg},
+                            train=True)
             return out
 
-        pred_fake = ckpt(_score_img)(img_pred)
+        if batch_fr and not sc.no_ganFeat_loss:
+            both = ckpt(_score_img)(
+                jnp.concatenate([img_pred,
+                                 jax.lax.stop_gradient(batch.imgs)], axis=0))
+            pred_fake = [[t[:B] for t in feats] for feats in both]
+            pred_real = [[t[B:] for t in feats] for feats in both]
+        else:
+            pred_fake = ckpt(_score_img)(img_pred)
+            # no gradient flows through the real-image features (they are
+            # stop-gradded below), so no checkpoint is needed here
+            pred_real = (None if sc.no_ganFeat_loss
+                         else _score_img(batch.imgs))
         gan_img = criterion(pred_fake, True, for_discriminator=False)
         losses["GAN_Img"] = gan_img * sc.w_d_img
         total = total + losses["GAN_Img"]
 
         if not sc.no_ganFeat_loss:
-            # no gradient flows through the real-image features (they are
-            # stop-gradded below), so no checkpoint is needed here
-            pred_real = _score_img(batch.imgs)
             feat = 0.0
             for i in range(sc.num_D):
                 for j in range(len(pred_fake[i]) - 1):
@@ -377,8 +416,12 @@ def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
 
 
 def discriminator_losses(sc: StepCfg, states: GanStates, d_params, batch,
-                         outputs):
-    """compute_discriminator_loss (pix2pix_model.py:145-202)."""
+                         outputs, seg_img=None):
+    """compute_discriminator_loss (pix2pix_model.py:145-202).
+
+    ``seg_img`` is the live-parameter image-D seg (see :func:`seg_for_d_img`);
+    gradient flows through it into the D's embedding params exactly as if each
+    forward had rebuilt it."""
     criterion = GanLoss(sc.gan_mode)
     img_pred, boxes_pred, masks_pred = [
         jax.lax.stop_gradient(o) if o is not None else None for o in outputs]
@@ -395,13 +438,25 @@ def discriminator_losses(sc: StepCfg, states: GanStates, d_params, batch,
 
     losses = {}
     new_stats = {}
+    B = batch.imgs.shape[0]
+    batch_fr = seg_img is not None and "batch" not in sc.norm_D
 
     def _d_img(params, img):
+        n_rep = img.shape[0] // B
+        seg = (jnp.concatenate([seg_img] * n_rep, axis=0)
+               if (seg_img is not None and n_rep > 1) else seg_img)
         return _apply(states.d_img, params, (img, batch.objs, d_boxes),
-                      {"layout_masks": batch.masks}, train=True)
+                      {"layout_masks": batch.masks, "seg": seg},
+                      train=True)
 
-    pred_fake, _ = ckpt(_d_img)(d_params["img"], img_pred)
-    gt_real, new_stats["img"] = ckpt(_d_img)(d_params["img"], batch.imgs)
+    if batch_fr:
+        both, new_stats["img"] = ckpt(_d_img)(
+            d_params["img"], jnp.concatenate([img_pred, batch.imgs], axis=0))
+        pred_fake = [[t[:B] for t in feats] for feats in both]
+        gt_real = [[t[B:] for t in feats] for feats in both]
+    else:
+        pred_fake, _ = ckpt(_d_img)(d_params["img"], img_pred)
+        gt_real, new_stats["img"] = ckpt(_d_img)(d_params["img"], batch.imgs)
     losses["D_img_fake"] = criterion(pred_fake, False, for_discriminator=True)
     losses["D_img_real"] = criterion(gt_real, True, for_discriminator=True)
     total = losses["D_img_fake"] + losses["D_img_real"]
@@ -473,15 +528,22 @@ def _gan_train_body(states: GanStates, batch, rng, vgg_params, sc: StepCfg):
 
     def loss_fn(p):
         d_params = {k: p.get(k) for k in ("img", "obj", "mask")}
+        # one seg for all four image-D forwards (fake/real x G-loss/D-loss):
+        # built from the live params so the D update trains its embedding;
+        # generator_losses stop-grads it (frozen-D semantics preserved)
+        seg_img = (seg_for_d_img(states, p["img"], batch)
+                   if not sc.skip_generation else None)
         g_total, (g_losses, outputs, new_gstats) = generator_losses(
-            sc, states, p["g"], batch, g_rng, vgg_params, d_params=d_params)
+            sc, states, p["g"], batch, g_rng, vgg_params, d_params=d_params,
+            seg_img=seg_img)
         metrics = dict(g_losses)
         d_stats = {}
         total = g_total
         if not sc.skip_generation:
             d_total, (d_losses, d_stats) = discriminator_losses(
                 sc, states, {k: v for k, v in d_params.items()
-                             if v is not None}, batch, outputs)
+                             if v is not None}, batch, outputs,
+                seg_img=seg_img)
             metrics.update(d_losses)
             total = total + d_total
         return total, (metrics, new_gstats, d_stats)

@@ -30,6 +30,11 @@ def apply_platform_override() -> None:
     try:
         os.makedirs(_CACHE_DIR, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # min-compile-time MUST be 0 here: the tunnel'd TPU backend compiles
+        # asynchronously, so the client-measured compile time is ~0s and any
+        # positive threshold skips every write (root cause of the round-1
+        # "executables are NOT cached across processes" note — measured:
+        # 4.4s -> 0.12s across processes once entries are written)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass  # cache is best-effort

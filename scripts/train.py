@@ -24,6 +24,7 @@ import numpy as np
 from canonicalsg2im_tpu.config import Config, parse_cli
 from canonicalsg2im_tpu.data import BucketedLoader, get_dataset
 from canonicalsg2im_tpu.data.vocab import non_meta_relation_ids
+from canonicalsg2im_tpu.graphs.converse import format_probability_tables
 from canonicalsg2im_tpu.parallel import create_mesh, shard_batch, replicate
 from canonicalsg2im_tpu.train import (
     create_layout_state,
@@ -159,6 +160,7 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
                 save_checkpoint(path, states, vocab=cfg.vocab,
                                 counters={"t": t, "epoch": epoch})
                 print("Saving checkpoint to", path)
+                print_canonicalization_tables(cfg, states.g.params)
                 # the reference's four qualitative variants
                 # (scripts/train.py:243-251) on the last val batch
                 variants = {"gt_box_gt_mask": (True, True),
@@ -303,8 +305,28 @@ def main(cfg: Config):
                 save_checkpoint(path, state, vocab=cfg.vocab,
                                 counters={"t": t, "epoch": epoch})
                 print("Saving checkpoint to", path)
+                print_canonicalization_tables(cfg, state.params)
     logger.close()
     return state
+
+
+def print_canonicalization_tables(cfg, params):
+    """Checkpoint-time learned-canonicalization diagnostics (the reference
+    prints these every checkpoint, scripts/train.py:406-408)."""
+    import jax.numpy as jnp  # noqa: F401 (device_get handles jnp arrays)
+    from canonicalsg2im_tpu.models.sg2layout import symmetrize_converse
+
+    p = params.get("sg_to_layout", params)
+    conv = trans = None
+    if cfg.learned_converse and "converse_candidates_weights" in p:
+        conv = np.asarray(jax.device_get(
+            symmetrize_converse(p["converse_candidates_weights"])))
+    if cfg.learned_transitivity and "trans_candidates_weights" in p:
+        trans = np.asarray(jax.device_get(p["trans_candidates_weights"]))
+    if conv is None and trans is None:
+        return
+    non_meta = tuple(non_meta_relation_ids(cfg.vocab))
+    print(format_probability_tables(conv, trans, cfg.vocab, non_meta))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,79 @@
+"""Quantify the K-step scan's converse-feedback delay.
+
+``layout_train_multi_step`` / ``gan_train_multi_step`` run K fused steps per
+dispatch, so the learned-converse weights reach the host data pipeline every
+K steps instead of every step (the reference updates per step,
+scripts/train.py:383-385). This test trains the same WSGC layout config with
+K=1 and K=10 and asserts the deviation is benign: both runs recover the same
+converse structure (argmax over candidates agrees on every spatial relation)
+and their probability tables stay close.
+"""
+import jax
+import numpy as np
+
+from canonicalsg2im_tpu.config import Config
+from canonicalsg2im_tpu.data import BucketedLoader, get_dataset
+from canonicalsg2im_tpu.data.vocab import non_meta_relation_ids
+from canonicalsg2im_tpu.graphs.converse import converse_probability_table
+from canonicalsg2im_tpu.models.sg2layout import symmetrize_converse
+from canonicalsg2im_tpu.train import create_layout_state, layout_train_multi_step
+
+TRUE_CONVERSE = {
+    "__below__": "__above__", "__above__": "__below__",
+    "__left of__": "__right of__", "__right of__": "__left of__",
+}
+
+
+def _train_with_feedback_period(K: int, total_steps: int = 120):
+    cfg = Config(dataset="packed_clevr_syn", compute_dtype="float32",
+                 num_train_samples=64, batch_size=8, min_objects=4,
+                 max_objects=7, image_size=(64, 64), gconv_num_layers=2,
+                 gconv_hidden_dim=64, gconv_dim=32, embedding_dim=8,
+                 learned_converse=True, learned_transitivity=True, seed=3)
+    ds = get_dataset(cfg.dataset, "train", cfg)
+    cfg.vocab = ds.vocab
+    cfg.finalize()
+    # one fixed bucket so K batches stack into a single (K, ...) pytree
+    loader = BucketedLoader(ds, cfg.batch_size, seed=0, prefetch=0,
+                            bucket_objects=(8,), bucket_triplets=(512,))
+    state = create_layout_state(cfg, jax.random.PRNGKey(0))
+    non_meta = tuple(non_meta_relation_ids(cfg.vocab))
+    rng = jax.random.PRNGKey(1)
+
+    def cycle():
+        while True:
+            yield from loader
+
+    it = cycle()
+    for _ in range(total_steps // K):
+        rng, sub = jax.random.split(rng)
+        bs = [next(it) for _ in range(K)]
+        stacked = jax.tree.map(
+            lambda *xs: (np.stack(xs) if xs[0] is not None else None), *bs)
+        state, metrics, conv_w = layout_train_multi_step(
+            state, stacked, jax.random.split(sub, K),
+            non_meta_rels=non_meta, learned_converse=True)
+        # host feedback happens once per dispatch — every K steps
+        loader.set_converse_weights(np.asarray(jax.device_get(conv_w)))
+    conv_w = symmetrize_converse(
+        state.params["converse_candidates_weights"])
+    table = converse_probability_table(
+        np.asarray(jax.device_get(conv_w)), cfg.vocab, non_meta)
+    return table, float(metrics["bbox_pred"])
+
+
+def test_kstep_converse_feedback_delay_is_benign():
+    table1, loss1 = _train_with_feedback_period(1)
+    table10, loss10 = _train_with_feedback_period(10)
+
+    for rel, want in TRUE_CONVERSE.items():
+        row1, row10 = table1[rel], table10[rel]
+        # both runs must agree on which candidate dominates each relation
+        assert max(row1, key=row1.get) == max(row10, key=row10.get), (
+            rel, row1, row10)
+        # and the probability each run assigns to that choice stays close
+        top = max(row1, key=row1.get)
+        assert abs(row1[top] - row10[top]) < 0.25, (rel, row1[top], row10[top])
+
+    # training quality is unaffected (same order of magnitude of bbox loss)
+    assert loss10 < loss1 * 2.0 + 0.05, (loss1, loss10)

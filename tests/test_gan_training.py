@@ -113,10 +113,12 @@ def test_gan_multi_step_matches_sequential():
     step size, decorrelating those parameters' low-order bits. What must
     hold: the loss trajectory matches to float tolerance, every parameter
     stays within the per-step Adam update bound of its sequential twin, and
-    the REINFORCE converse weights agree."""
+    the REINFORCE converse weights agree. Run in float32: the equivalence is
+    dtype-independent, and only f32 keeps the 1e-3 trajectory tolerance
+    meaningful (bf16 compute diverges ~1e-2 across fusion variants)."""
     from canonicalsg2im_tpu.train.gan import gan_train_multi_step
 
-    cfg, loader, vgg_params = _setup()
+    cfg, loader, vgg_params = _setup(compute_dtype="float32")
     sc = step_cfg_from_config(cfg)
     batch = next(iter(loader))
     rng = jax.random.PRNGKey(42)

@@ -194,3 +194,77 @@ def test_clevr_dialog_dataset(tmp_path):
     assert s.objs.shape == (5, 4)  # 4 objects + dummy
     assert s.image is None  # no image files in fixture
     assert s.triplets.shape[0] > 0
+
+
+@pytest.fixture(scope="module")
+def coco_val_fixture(tmp_path_factory):
+    """COCO fixture whose image ids straddle the reference val-id list."""
+    from canonicalsg2im_tpu.data.coco import load_reference_val_ids
+
+    ref = load_reference_val_ids()
+    on_list, off_list = ref[:3], [1, 2, 3]
+    root = tmp_path_factory.mktemp("coco_val")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    images, inst_anns, stuff_anns = [], [], []
+    rng = np.random.default_rng(0)
+    for iid in on_list + off_list:
+        W, H = 64, 48
+        fname = f"{iid:012d}.jpg"
+        _save_img(img_dir / fname, W, H, seed=iid % 97)
+        images.append({"id": iid, "file_name": fname, "width": W, "height": H})
+        for k in range(4):
+            x, y = rng.uniform(0, 30, 2)
+            w, h = rng.uniform(10, 18, 2)
+            poly = [float(x), float(y), float(x + w), float(y),
+                    float(x + w), float(y + h), float(x), float(y + h)]
+            ann = {"image_id": iid,
+                   "bbox": [float(x), float(y), float(w), float(h)],
+                   "category_id": 1 if k % 2 == 0 else 91,
+                   "segmentation": [poly]}
+            (inst_anns if k % 2 == 0 else stuff_anns).append(ann)
+    inst = {"images": images,
+            "categories": [{"id": 1, "name": "person"}],
+            "annotations": inst_anns}
+    stuff = {"images": images,
+             "categories": [{"id": 91, "name": "grass"}],
+             "annotations": stuff_anns}
+    ipath, spath = root / "inst.json", root / "stuff.json"
+    ipath.write_text(json.dumps(inst))
+    spath.write_text(json.dumps(stuff))
+    return str(img_dir), str(ipath), str(spath), on_list, off_list
+
+
+def test_coco_reference_val_split(coco_val_fixture):
+    """val = ids on the reference list, test = the rest
+    (reference dataset_params.py:188-191), as the default split."""
+    img_dir, inst, stuff, on_list, off_list = coco_val_fixture
+
+    def make(partition, **kw):
+        return CocoSceneGraphDataset(
+            img_dir, inst, stuff, packed=True, partition=partition,
+            image_size=(32, 32), min_objects=1, max_objects=100,
+            min_object_size=0.0, **kw)
+
+    val = make("val")
+    test = make("test")
+    assert sorted(val.image_ids) == sorted(on_list)
+    assert sorted(test.image_ids) == sorted(off_list)
+    # disjoint and exhaustive over the fixture
+    assert not set(val.image_ids) & set(test.image_ids)
+    assert set(val.image_ids) | set(test.image_ids) == set(on_list + off_list)
+
+    # legacy hash split stays available behind the flag
+    val_h = make("val", val_split="hash")
+    test_h = make("test", val_split="hash")
+    assert all(i % 2 == 0 for i in val_h.image_ids)
+    assert all(i % 2 == 1 for i in test_h.image_ids)
+
+
+def test_reference_val_id_list_integrity():
+    from canonicalsg2im_tpu.data.coco import load_reference_val_ids
+
+    ids = load_reference_val_ids()
+    assert len(ids) == 1024 and len(set(ids)) == 1024
+    # spot-check the reference's first/last entries (packed_coco.py:12,90)
+    assert ids[0] == 252219 and ids[-1] == 123585
