@@ -151,6 +151,8 @@ def main():
         # is pure overhead); BENCH_REMAT=1 re-enables it
         remat_generator=os.environ.get("BENCH_REMAT", "0") != "0",
         use_pallas_splat=os.environ.get("BENCH_PALLAS_SPLAT", "0") == "1",
+        batch_fake_real=os.environ.get("BENCH_BATCH_FR", "0") == "1",
+        remat_spade_mlp=os.environ.get("BENCH_REMAT_SPADE_MLP", "0") == "1",
     )
     ds = get_dataset(cfg.dataset, "train", cfg)
     cfg.vocab = ds.vocab

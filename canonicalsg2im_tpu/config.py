@@ -154,6 +154,16 @@ class Config:
     donate_state: bool = True
     use_pallas_splat: bool = False
     remat_generator: bool = False
+    # recompute each SPADE's gamma/beta branch in the backward instead of
+    # saving its block-resolution activations (surgical traffic/memory trade
+    # for the HBM-bandwidth-bound GAN step; see models/spade.py)
+    remat_spade_mlp: bool = False
+    # one batched D/VGG forward per (fake, real) pair in the GAN step —
+    # exact for per-sample (instance/spectral) norms; see train/gan.py.
+    # Measured neutral-to-slightly-negative at 256^2 batch 8 on one v5e
+    # (53.9±2.9 vs 56.7±0.5 imgs/s off), so off by default; kept for
+    # configs where the D is small enough to be launch-bound.
+    batch_fake_real: bool = False
     # rematerialize loss-side network forwards in the fused GAN step:
     # "none" | "vgg" | "all" (see train/gan.py StepCfg.remat_loss). Measured
     # at 256^2 batch 16 on one v5e: none=35.9, vgg=33.6, all=26.4 imgs/s —

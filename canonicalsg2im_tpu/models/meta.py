@@ -40,6 +40,7 @@ class MetaGeneratorModel(nn.Module):
     skip_generation: bool = False
     dtype: jnp.dtype = jnp.float32
     remat: bool = True
+    remat_spade_mlp: bool = False
     use_pallas_splat: bool = False
 
     @classmethod
@@ -59,6 +60,7 @@ class MetaGeneratorModel(nn.Module):
             dtype=jnp.dtype(cfg.compute_dtype),
             use_pallas_splat=cfg.use_pallas_splat,
             remat=cfg.remat_generator,
+            remat_spade_mlp=cfg.remat_spade_mlp,
         )
 
     @nn.compact
@@ -96,6 +98,7 @@ class MetaGeneratorModel(nn.Module):
                 norm_G=self.norm_G, aspect_ratio=self.aspect_ratio,
                 use_vae=self.use_vae, z_dim=self.z_dim,
                 dtype=self.dtype, remat=self.remat,
+                remat_spade_mlp=self.remat_spade_mlp,
                 use_pallas_splat=self.use_pallas_splat,
                 name="layout_to_image_model",
             )(objs, layout_boxes, layout_masks, test_mode=test_mode,

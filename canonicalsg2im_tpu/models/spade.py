@@ -59,11 +59,28 @@ class SPADE(nn.Module):
 
     `dtype` is the conv compute dtype (bf16 on TPU); the param-free norm and
     the final affine run in float32 for stable statistics.
+
+    ``remat_mlp`` recomputes the gamma/beta branch from the seg during the
+    backward pass instead of saving its three block-resolution activations
+    per SPADE — a surgical traffic/memory trade (the GAN step is
+    HBM-bandwidth-bound while the MXU has ~50% headroom; whole-block remat
+    measured slower because it also recomputes the expensive main convs).
     """
 
     config_text: str  # e.g. 'spadesyncbatch3x3'
     norm_nc: int
     dtype: jnp.dtype = jnp.float32
+    remat_mlp: bool = False
+
+    def _gamma_beta(self, seg, ks: int):
+        nhidden = 128
+        actv = nn.relu(nn.Conv(nhidden, (ks, ks), padding="SAME",
+                               dtype=self.dtype, name="mlp_shared")(seg))
+        gamma = nn.Conv(self.norm_nc, (ks, ks), padding="SAME",
+                        dtype=self.dtype, name="mlp_gamma")(actv)
+        beta = nn.Conv(self.norm_nc, (ks, ks), padding="SAME",
+                       dtype=self.dtype, name="mlp_beta")(actv)
+        return gamma, beta
 
     @nn.compact
     def __call__(self, x, segmap, train: bool = True):
@@ -76,13 +93,9 @@ class SPADE(nn.Module):
             x.astype(jnp.float32), train=train).astype(self.dtype)
 
         seg = resize_nearest(segmap, x.shape[1:3]).astype(self.dtype)
-        nhidden = 128
-        actv = nn.relu(nn.Conv(nhidden, (ks, ks), padding="SAME",
-                               dtype=self.dtype, name="mlp_shared")(seg))
-        gamma = nn.Conv(self.norm_nc, (ks, ks), padding="SAME",
-                        dtype=self.dtype, name="mlp_gamma")(actv)
-        beta = nn.Conv(self.norm_nc, (ks, ks), padding="SAME",
-                       dtype=self.dtype, name="mlp_beta")(actv)
+        fn = (nn.remat(SPADE._gamma_beta, static_argnums=(2,))
+              if self.remat_mlp else SPADE._gamma_beta)
+        gamma, beta = fn(self, seg, ks)
         return normalized * (1.0 + gamma) + beta
 
 
@@ -93,6 +106,7 @@ class SPADEResnetBlock(nn.Module):
     fout: int
     norm_G: str = "spectralspadesyncbatch3x3"
     dtype: jnp.dtype = jnp.float32
+    remat_spade_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, seg, train: bool = True):
@@ -112,7 +126,8 @@ class SPADEResnetBlock(nn.Module):
             return layer(y)
 
         def spade(name, nc, y):
-            return SPADE(spade_cfg, nc, dtype=self.dtype, name=name)(
+            return SPADE(spade_cfg, nc, dtype=self.dtype,
+                         remat_mlp=self.remat_spade_mlp, name=name)(
                 y, seg, train=train)
 
         if learned_shortcut:
@@ -198,6 +213,7 @@ class SPADEGenerator(nn.Module):
     z_dim: int = 256
     dtype: jnp.dtype = jnp.float32   # conv compute dtype (bf16 on TPU)
     remat: bool = True               # rematerialize each SPADE resblock
+    remat_spade_mlp: bool = False    # surgical gamma/beta-branch remat
     use_pallas_splat: bool = False
 
     @nn.compact
@@ -234,8 +250,9 @@ class SPADEGenerator(nn.Module):
         # 7-block pyramid live at up to 256^2 resolution
         block_cls = (nn.remat(SPADEResnetBlock, static_argnums=(3,))
                      if self.remat else SPADEResnetBlock)
-        blk = lambda fi, fo, name: block_cls(fi, fo, self.norm_G,
-                                             dtype=self.dtype, name=name)
+        blk = lambda fi, fo, name: block_cls(
+            fi, fo, self.norm_G, dtype=self.dtype,
+            remat_spade_mlp=self.remat_spade_mlp, name=name)
         x = blk(16 * nf, 16 * nf, "head_0")(x, seg, train)
         x = upsample_nearest(x)
         x = blk(16 * nf, 16 * nf, "G_middle_0")(x, seg, train)

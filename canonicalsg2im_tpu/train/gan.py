@@ -79,6 +79,9 @@ class StepCfg(NamedTuple):
     use_gt_masks: bool = True
     compute_dtype: str = "float32"
     norm_D: str = "spectralinstance"
+    # one batched D/VGG forward for the (fake, real) pair — exact for
+    # per-sample norms; switchable for A/B perf measurement
+    batch_fake_real: bool = True
     # Rematerialize loss-side network forwards instead of saving their
     # activations for backward: "none" | "vgg" | "all". The fused step runs
     # at the HBM ceiling (temp 13.7G of 15.75G at 256^2 batch 16; the VGG
@@ -116,6 +119,7 @@ def step_cfg_from_config(cfg: Config) -> StepCfg:
         use_gt_masks=cfg.mask_size > 0,
         compute_dtype=cfg.compute_dtype,
         norm_D=cfg.norm_D,
+        batch_fake_real=cfg.batch_fake_real,
     )
 
 
@@ -304,7 +308,8 @@ def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
         # batched D forward (halves the D kernel count per step); batch-norm
         # discriminators keep the reference's separate forwards to preserve
         # their per-forward statistics
-        batch_fr = seg_frozen is not None and "batch" not in sc.norm_D
+        batch_fr = (sc.batch_fake_real and seg_frozen is not None
+                    and "batch" not in sc.norm_D)
 
         def _score_img(img):
             n_rep = img.shape[0] // B
@@ -439,7 +444,8 @@ def discriminator_losses(sc: StepCfg, states: GanStates, d_params, batch,
     losses = {}
     new_stats = {}
     B = batch.imgs.shape[0]
-    batch_fr = seg_img is not None and "batch" not in sc.norm_D
+    batch_fr = (sc.batch_fake_real and seg_img is not None
+                and "batch" not in sc.norm_D)
 
     def _d_img(params, img):
         n_rep = img.shape[0] // B
