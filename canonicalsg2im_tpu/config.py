@@ -153,6 +153,12 @@ class Config:
     bucket_triplets: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
     donate_state: bool = True
     use_pallas_splat: bool = False
+    # Pallas inference fusions (eval/test-mode forwards only; training keeps
+    # the XLA paths, where the kernels' dense backward loses — docs/PERF.md).
+    # None = auto: on when the backend is a real TPU, off elsewhere
+    # (interpret-mode Pallas on CPU is orders of magnitude slower than XLA).
+    use_pallas_splat_eval: Optional[bool] = None
+    fused_spade_eval: Optional[bool] = None
     remat_generator: bool = False
     # recompute each SPADE's gamma/beta branch in the backward instead of
     # saving its block-resolution activations (surgical traffic/memory trade
@@ -181,6 +187,14 @@ class Config:
         """Derive dependent fields once the vocab is known (args.py:215-238)."""
         if self.vocab is not None:
             self.semantic_nc = len(self.vocab["attributes"]) * self.embedding_dim
+        if self.use_pallas_splat_eval is None or self.fused_spade_eval is None:
+            import jax
+
+            on_tpu = jax.default_backend() == "tpu"
+            if self.use_pallas_splat_eval is None:
+                self.use_pallas_splat_eval = on_tpu
+            if self.fused_spade_eval is None:
+                self.fused_spade_eval = on_tpu
         return self
 
     @property

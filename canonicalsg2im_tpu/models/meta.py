@@ -42,6 +42,8 @@ class MetaGeneratorModel(nn.Module):
     remat: bool = True
     remat_spade_mlp: bool = False
     use_pallas_splat: bool = False
+    use_pallas_splat_eval: bool = False
+    fused_spade_eval: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config) -> "MetaGeneratorModel":
@@ -59,6 +61,8 @@ class MetaGeneratorModel(nn.Module):
             skip_generation=cfg.skip_generation,
             dtype=jnp.dtype(cfg.compute_dtype),
             use_pallas_splat=cfg.use_pallas_splat,
+            use_pallas_splat_eval=bool(cfg.use_pallas_splat_eval),
+            fused_spade_eval=bool(cfg.fused_spade_eval),
             remat=cfg.remat_generator,
             remat_spade_mlp=cfg.remat_spade_mlp,
         )
@@ -100,6 +104,8 @@ class MetaGeneratorModel(nn.Module):
                 dtype=self.dtype, remat=self.remat,
                 remat_spade_mlp=self.remat_spade_mlp,
                 use_pallas_splat=self.use_pallas_splat,
+                use_pallas_splat_eval=self.use_pallas_splat_eval,
+                fused_spade_eval=self.fused_spade_eval,
                 name="layout_to_image_model",
             )(objs, layout_boxes, layout_masks, test_mode=test_mode,
               train=train)

@@ -71,6 +71,7 @@ class SPADE(nn.Module):
     norm_nc: int
     dtype: jnp.dtype = jnp.float32
     remat_mlp: bool = False
+    fused_eval: bool = False  # Pallas norm+convs+affine kernel when not train
 
     def _gamma_beta(self, seg, ks: int):
         nhidden = 128
@@ -86,6 +87,28 @@ class SPADE(nn.Module):
     def __call__(self, x, segmap, train: bool = True):
         parsed = re.search(r"spade(\D+)(\d)x\d", self.config_text)
         norm_kind, ks = str(parsed.group(1)), int(parsed.group(2))
+
+        if (self.fused_eval and not train and ks == 3
+                and not self.is_initializing()):
+            from canonicalsg2im_tpu.ops.pallas_spade import (
+                spade_fused_eval, spade_fused_supported)
+
+            if spade_fused_supported(x.shape[1], x.shape[2], x.shape[3],
+                                     norm_kind):
+                # eval-mode batch stats make the norm elementwise, so the
+                # whole SPADE chain runs as one Pallas kernel (no HBM
+                # round-trips for actv/gamma/beta); ops/pallas_spade.py
+                seg = resize_nearest(segmap, x.shape[1:3])
+                p = self.variables["params"]
+                st = self.variables["batch_stats"]["ParamFreeNorm_0"][
+                    "BatchNorm_0"]
+                return spade_fused_eval(
+                    x, seg,
+                    p["mlp_shared"]["kernel"], p["mlp_shared"]["bias"],
+                    p["mlp_gamma"]["kernel"], p["mlp_gamma"]["bias"],
+                    p["mlp_beta"]["kernel"], p["mlp_beta"]["bias"],
+                    st["mean"], st["var"])
+
         # statistics always in float32; the normalized map and the affine ride
         # the compute dtype (bf16 on TPU — the saved-for-backward activations
         # of the resblock pyramid are the GAN step's largest HBM consumers)
@@ -107,6 +130,7 @@ class SPADEResnetBlock(nn.Module):
     norm_G: str = "spectralspadesyncbatch3x3"
     dtype: jnp.dtype = jnp.float32
     remat_spade_mlp: bool = False
+    fused_spade_eval: bool = False
 
     @nn.compact
     def __call__(self, x, seg, train: bool = True):
@@ -127,7 +151,8 @@ class SPADEResnetBlock(nn.Module):
 
         def spade(name, nc, y):
             return SPADE(spade_cfg, nc, dtype=self.dtype,
-                         remat_mlp=self.remat_spade_mlp, name=name)(
+                         remat_mlp=self.remat_spade_mlp,
+                         fused_eval=self.fused_spade_eval, name=name)(
                 y, seg, train=train)
 
         if learned_shortcut:
@@ -215,6 +240,10 @@ class SPADEGenerator(nn.Module):
     remat: bool = True               # rematerialize each SPADE resblock
     remat_spade_mlp: bool = False    # surgical gamma/beta-branch remat
     use_pallas_splat: bool = False
+    # inference-only Pallas fusions (eval forwards; see ops/pallas_spade.py
+    # and the measured train-path verdicts in docs/PERF.md)
+    use_pallas_splat_eval: bool = False
+    fused_spade_eval: bool = False
 
     @nn.compact
     def __call__(self, objs, layout_boxes, layout_masks=None, *,
@@ -227,9 +256,15 @@ class SPADEGenerator(nn.Module):
         obj_vecs = AttributeEmbeddings(self.vocab["attributes"],
                                        self.embedding_dim,
                                        name="attribute_embedding")(objs)
+        # training routes through the XLA splat by default (the Pallas
+        # kernel's dense VJP loses on fwd+bwd); eval forwards take the
+        # sparse kernel when enabled (1.74x fwd, scripts/bench_pallas_splat)
+        use_pallas = (self.use_pallas_splat if train
+                      else (self.use_pallas_splat or
+                            self.use_pallas_splat_eval))
         seg = build_seg_layout(obj_vecs, objs, layout_boxes, layout_masks,
                                self.image_size, test_mode,
-                               use_pallas=self.use_pallas_splat,
+                               use_pallas=use_pallas,
                                dtype=self.dtype)
 
         if self.use_vae:
@@ -252,7 +287,8 @@ class SPADEGenerator(nn.Module):
                      if self.remat else SPADEResnetBlock)
         blk = lambda fi, fo, name: block_cls(
             fi, fo, self.norm_G, dtype=self.dtype,
-            remat_spade_mlp=self.remat_spade_mlp, name=name)
+            remat_spade_mlp=self.remat_spade_mlp,
+            fused_spade_eval=self.fused_spade_eval and not train, name=name)
         x = blk(16 * nf, 16 * nf, "head_0")(x, seg, train)
         x = upsample_nearest(x)
         x = blk(16 * nf, 16 * nf, "G_middle_0")(x, seg, train)

@@ -28,7 +28,9 @@ TH = 128  # tile height (128-aligned so lane-dim slices are provably aligned)
 TW = 128  # tile width (lane width)
 TD = 64   # max feature width per pallas_call (bounds the VMEM output block)
 TDL = 128  # NHWC-variant feature chunk (the output block's lane dim)
-O_MAX_NHWC = 64  # VMEM bound for the NHWC kernel's (TH, TW, O) broadcast
+THN = 64  # NHWC-variant tile height: the (THN, TW, TDL) f32 output block is
+#           4 MB, so double buffering stays under the 16 MB scoped-vmem limit
+O_MAX_NHWC = 64  # VMEM bound for the NHWC kernel's (THN, TW, O) broadcast
 
 
 def _kernel(bounds_ref, vecs_ref, cov_y_ref, cov_x_ref, out_ref):
@@ -101,6 +103,8 @@ def _kernel_nhwc(bounds_ref, vecs_ref, cy_t_ref, cx_t_ref, out_ref):
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     O = vecs_ref.shape[0]
+    th = cy_t_ref.shape[0]
+    tw = cx_t_ref.shape[0]
 
     def count_overlaps(o, acc):
         y_lo = bounds_ref[b, o, 0]
@@ -108,8 +112,8 @@ def _kernel_nhwc(bounds_ref, vecs_ref, cy_t_ref, cx_t_ref, out_ref):
         x_lo = bounds_ref[b, o, 2]
         x_hi = bounds_ref[b, o, 3]
         hit = jnp.logical_and(
-            jnp.logical_and(y_lo < ti * TH + TH, y_hi > ti * TH),
-            jnp.logical_and(x_lo < tj * TW + TW, x_hi > tj * TW))
+            jnp.logical_and(y_lo < ti * th + th, y_hi > ti * th),
+            jnp.logical_and(x_lo < tj * tw + tw, x_hi > tj * tw))
         return acc + hit.astype(jnp.int32)
 
     n_hit = jax.lax.fori_loop(0, O, count_overlaps, 0)
@@ -118,15 +122,15 @@ def _kernel_nhwc(bounds_ref, vecs_ref, cy_t_ref, cx_t_ref, out_ref):
 
     @pl.when(n_hit > 0)
     def _():
-        cy = cy_t_ref[...]                                # (TH, O)
-        cx = cx_t_ref[...]                                # (TW, O)
+        cy = cy_t_ref[...]                                # (th, O)
+        cx = cx_t_ref[...]                                # (tw, O)
         v = vecs_ref[...]                                 # (O, TDL)
-        lhs = cx[None, :, :] * cy[:, None, :]             # (TH, TW, O) VPU
+        lhs = cx[None, :, :] * cy[:, None, :]             # (th, tw, O) VPU
         rhs = jnp.broadcast_to(v[None], (cy.shape[0],) + v.shape)
         out_ref[...] = jax.lax.dot_general(
             lhs, rhs,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)           # (TH, TW, TDL) MXU
+            preferred_element_type=jnp.float32)           # (th, tw, TDL) MXU
 
 
 def _splat_fwd_nhwc(vecs, boxes, H: int, W: int, interpret):
@@ -144,16 +148,16 @@ def _splat_fwd_nhwc(vecs, boxes, H: int, W: int, interpret):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H // TH, W // TW, D // TDL),
+        grid=(B, H // THN, W // TW, D // TDL),
         in_specs=[
             pl.BlockSpec((1, O, TDL), lambda b, i, j, k, _: (b, 0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TH, O), lambda b, i, j, k, _: (b, i, 0),
+            pl.BlockSpec((1, THN, O), lambda b, i, j, k, _: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TW, O), lambda b, i, j, k, _: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TH, TW, TDL),
+        out_specs=pl.BlockSpec((1, THN, TW, TDL),
                                lambda b, i, j, k, _: (b, i, j, k),
                                memory_space=pltpu.VMEM),
     )
@@ -313,78 +317,94 @@ def _mask_bounds(boxes, H: int, W: int, M: int):
     return jnp.stack([y_lo, y_hi, x_lo, x_hi], axis=-1)
 
 
-def _interp_rows(pix, M: int):
-    """(N, M) bilinear tap matrix for pixel coords pix (N,) — the in-kernel
-    twin of ops.layout._interp_matrix (taps outside [0, M-1] drop out via the
-    failed equality, i.e. grid_sample zero padding)."""
+def _interp_taps(pix, M: int):
+    """(R, M, O) bilinear tap tensor for pixel coords pix (R, O) — the
+    in-kernel twin of ops.layout._interp_matrix (taps outside [0, M-1] drop
+    out via the failed equality, i.e. grid_sample zero padding). Axis order
+    puts O minor so everything stays lane-aligned with zero transposes."""
+    R, O = pix.shape
     ix0 = jnp.floor(pix)
     w1 = pix - ix0
     w0 = 1.0 - w1
-    m = jax.lax.broadcasted_iota(jnp.float32, (pix.shape[0], M), 1)
-    return ((m == ix0[:, None]) * w0[:, None]
-            + (m == ix0[:, None] + 1.0) * w1[:, None])
+    m = jax.lax.broadcasted_iota(jnp.int32, (R, M, O), 1).astype(jnp.float32)
+    return ((m == ix0[:, None, :]) * w0[:, None, :]
+            + (m == ix0[:, None, :] + 1.0) * w1[:, None, :])
 
 
-def _kernel_masks(bounds_ref, boxes_ref, vecs_ref, masks_ref, out_ref, *,
+def _kernel_masks(bounds_ref, boxesv_ref, vecs_ref, masks_ref, out_ref, *,
                   H: int, W: int):
     """One (b, th, tw, dchunk) tile of the mask-path splat, NHWC-direct.
 
-    out[h, w, d] = sum_o sample(mask_o, box_o)[h, w] * v[o, d]; each object's
-    (TH, TW) sampled-mask tile is produced by two small interpolation matmuls
-    and accumulated with a VPU broadcast multiply. Objects whose mask support
-    misses the tile are skipped entirely (scalar test on prefetched bounds).
+    out[h, w, d] = sum_o sample(mask_o, box_o)[h, w] * v[o, d]. All objects
+    are processed batched with O as the minor (lane) axis — Mosaic forbids
+    dynamically slicing sub-128 minor dims, so per-object loops/slices are
+    avoided entirely: the two bilinear interpolation contractions run as
+    static M-step VPU multiply-accumulates and the final feature contraction
+    is one row-batched MXU dot (the boxes-NHWC pattern). Whole tiles with no
+    overlapping object skip all vector work via the prefetched bounds.
 
     bounds_ref: scalar-prefetch (B, O, 4) int32
-    boxes_ref:  scalar-prefetch (B, O, 4) float32 xywh
+    boxesv_ref: (O, 4) VMEM float32 xywh
     vecs_ref:   (O, TDL) VMEM
-    masks_ref:  (O, M, M) VMEM
-    out_ref:    (TH, TW, TDL) VMEM
+    masks_ref:  (M, M, O) VMEM (host-transposed)
+    out_ref:    (THN, TW, TDL) VMEM
     """
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
-    O, M, _ = masks_ref.shape
+    M, _, O = masks_ref.shape
+    th, tw = out_ref.shape[0], out_ref.shape[1]
 
-    y_idx = jax.lax.broadcasted_iota(jnp.float32, (TH, 1), 0) + ti * TH
-    x_idx = jax.lax.broadcasted_iota(jnp.float32, (TW, 1), 0) + tj * TW
-    u_y = y_idx[:, 0] / (H - 1)
-    u_x = x_idx[:, 0] / (W - 1)
-
-    out_ref[...] = jnp.zeros_like(out_ref)
-
-    def body(o, _):
+    def count_overlaps(o, acc):
         y_lo = bounds_ref[b, o, 0]
         y_hi = bounds_ref[b, o, 1]
         x_lo = bounds_ref[b, o, 2]
         x_hi = bounds_ref[b, o, 3]
         hit = jnp.logical_and(
-            jnp.logical_and(y_lo < ti * TH + TH, y_hi > ti * TH),
-            jnp.logical_and(x_lo < tj * TW + TW, x_hi > tj * TW))
+            jnp.logical_and(y_lo < ti * th + th, y_hi > ti * th),
+            jnp.logical_and(x_lo < tj * tw + tw, x_hi > tj * tw))
+        return acc + hit.astype(jnp.int32)
 
-        @pl.when(hit)
-        def _():
-            x0 = boxes_ref[b, o, 0]
-            y0 = boxes_ref[b, o, 1]
-            w = boxes_ref[b, o, 2]
-            h = boxes_ref[b, o, 3]
-            safe_w = jnp.where(w == 0, 1.0, w)
-            safe_h = jnp.where(h == 0, 1.0, h)
-            pix_y = (u_y - y0) / safe_h * (M - 1)
-            pix_x = (u_x - x0) / safe_w * (M - 1)
-            rows_y = _interp_rows(pix_y, M)               # (TH, M)
-            rows_x = _interp_rows(pix_x, M)               # (TW, M)
-            mo = masks_ref[o]                             # (M, M)
-            tmp = jnp.dot(rows_y, mo,
-                          preferred_element_type=jnp.float32)  # (TH, M)
-            tile = jax.lax.dot_general(
-                tmp, rows_x,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (TH, TW)
-            v = vecs_ref[o]                               # (TDL,)
-            out_ref[...] += tile[:, :, None] * v[None, None, :]
-        return 0
+    n_hit = jax.lax.fori_loop(0, O, count_overlaps, 0)
 
-    jax.lax.fori_loop(0, O, body, 0)
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(n_hit > 0)
+    def _():
+        boxesv = boxesv_ref[...]                          # (O, 4)
+        x0, y0 = boxesv[:, 0], boxesv[:, 1]
+        w, h = boxesv[:, 2], boxesv[:, 3]
+        # Mosaic only supports integer iota; cast to f32 after
+        u_y = ((jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
+                .astype(jnp.float32) + ti * th) / (H - 1))  # (th, 1)
+        u_x = ((jax.lax.broadcasted_iota(jnp.int32, (tw, 1), 0)
+                .astype(jnp.float32) + tj * tw) / (W - 1))
+        safe_w = jnp.where(w == 0, 1.0, w)
+        safe_h = jnp.where(h == 0, 1.0, h)
+        # zero-size boxes vanish, like ops.layout._axis_pixel_coords
+        pix_y = jnp.where(h[None, :] == 0, -1.0,
+                          (u_y - y0[None, :]) / safe_h[None, :]) * (M - 1)
+        pix_x = jnp.where(w[None, :] == 0, -1.0,
+                          (u_x - x0[None, :]) / safe_w[None, :]) * (M - 1)
+        ry = _interp_taps(pix_y, M)                       # (th, M, O)
+        rx = _interp_taps(pix_x, M)                       # (tw, M, O)
+        masks = masks_ref[...]                            # (M, M, O)
+
+        # rows[t, n, o] = sum_m ry[t, m, o] * masks[m, n, o]
+        rows = jnp.zeros((th, M, O), jnp.float32)
+        for m in range(M):
+            rows += ry[:, m, :][:, None, :] * masks[m][None, :, :]
+        # tile[t, x, o] = sum_n rows[t, n, o] * rx[x, n, o]
+        tile = jnp.zeros((th, tw, O), jnp.float32)
+        for n in range(M):
+            tile += rows[:, n, :][:, None, :] * rx[:, n, :][None, :, :]
+
+        v = vecs_ref[...]                                 # (O, TDL)
+        rhs = jnp.broadcast_to(v[None], (th,) + v.shape)
+        out_ref[...] = jax.lax.dot_general(
+            tile, rhs,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # (th, tw, TDL) MXU
 
 
 def _mask_splat_fwd_impl(vecs, boxes, masks, H: int, W: int, interpret):
@@ -393,22 +413,25 @@ def _mask_splat_fwd_impl(vecs, boxes, masks, H: int, W: int, interpret):
     B, O, D = vecs.shape
     M = masks.shape[-1]
     bounds = _mask_bounds(boxes, H, W, M)
+    masks_t = jnp.transpose(masks.astype(jnp.float32), (0, 2, 3, 1))
 
-    def kernel(bounds_ref, boxes_ref, vecs_ref, masks_ref, out_ref):
-        _kernel_masks(bounds_ref, boxes_ref, vecs_ref.at[0], masks_ref.at[0],
-                      out_ref.at[0], H=H, W=W)
+    def kernel(bounds_ref, boxesv_ref, vecs_ref, masks_ref, out_ref):
+        _kernel_masks(bounds_ref, boxesv_ref.at[0], vecs_ref.at[0],
+                      masks_ref.at[0], out_ref.at[0], H=H, W=W)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, H // TH, W // TW, D // TDL),
+        num_scalar_prefetch=1,
+        grid=(B, H // THN, W // TW, D // TDL),
         in_specs=[
-            pl.BlockSpec((1, O, TDL), lambda b, i, j, k, *_: (b, 0, k),
+            pl.BlockSpec((1, O, 4), lambda b, i, j, k, _: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, O, M, M), lambda b, i, j, k, *_: (b, 0, 0, 0),
+            pl.BlockSpec((1, O, TDL), lambda b, i, j, k, _: (b, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, M, O), lambda b, i, j, k, _: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TH, TW, TDL),
-                               lambda b, i, j, k, *_: (b, i, j, k),
+        out_specs=pl.BlockSpec((1, THN, TW, TDL),
+                               lambda b, i, j, k, _: (b, i, j, k),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -416,8 +439,7 @@ def _mask_splat_fwd_impl(vecs, boxes, masks, H: int, W: int, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, W, D), jnp.float32),
         interpret=interpret,
-    )(bounds, boxes.astype(jnp.float32), vecs.astype(jnp.float32),
-      masks.astype(jnp.float32))
+    )(bounds, boxes.astype(jnp.float32), vecs.astype(jnp.float32), masks_t)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
