@@ -154,9 +154,16 @@ class Config:
     donate_state: bool = True
     use_pallas_splat: bool = False
     # Pallas inference fusions (eval/test-mode forwards only; training keeps
-    # the XLA paths, where the kernels' dense backward loses — docs/PERF.md).
-    # None = auto: on when the backend is a real TPU, off elsewhere
-    # (interpret-mode Pallas on CPU is orders of magnitude slower than XLA).
+    # the XLA paths, where the kernels' dense backward loses). BOTH default
+    # off: measured in-context on one v5e (scripts/bench_infer.py, 256^2
+    # batch 8, 3 repeats), the dense-XLA forward wins — the standalone splat
+    # kernel is 1.55x faster than the dense splat in isolation
+    # (scripts/bench_pallas_splat.py), but inside the generator the
+    # custom-call fusion barrier costs more than the kernel saves
+    # (base ~336 imgs/s vs pallas ~318-330); the fused SPADE kernel's
+    # (B, C/cc) grid serializes over batch items and loses ~2x at the
+    # <=64px planes it covers. Both kernels are exact and remain available
+    # for single-image serving and standalone splat calls.
     use_pallas_splat_eval: Optional[bool] = None
     fused_spade_eval: Optional[bool] = None
     remat_generator: bool = False
@@ -187,14 +194,10 @@ class Config:
         """Derive dependent fields once the vocab is known (args.py:215-238)."""
         if self.vocab is not None:
             self.semantic_nc = len(self.vocab["attributes"]) * self.embedding_dim
-        if self.use_pallas_splat_eval is None or self.fused_spade_eval is None:
-            import jax
-
-            on_tpu = jax.default_backend() == "tpu"
-            if self.use_pallas_splat_eval is None:
-                self.use_pallas_splat_eval = on_tpu
-            if self.fused_spade_eval is None:
-                self.fused_spade_eval = on_tpu
+        if self.use_pallas_splat_eval is None:
+            self.use_pallas_splat_eval = False
+        if self.fused_spade_eval is None:
+            self.fused_spade_eval = False
         return self
 
     @property

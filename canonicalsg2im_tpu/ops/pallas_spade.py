@@ -42,18 +42,17 @@ MAX_PLANE = 64 * 64  # largest H*W the whole-plane kernel supports
 
 def _conv3x3(src, w9, rows: int, cols: int):
     """Σ_k src[dy:dy+rows, dx:dx+cols, :] @ w9[k]: a 3x3 VALID conv over a
-    pre-padded plane, as 9 row-batched MXU contractions."""
-    cin = src.shape[-1]
+    pre-padded plane, as 9 shifted MXU contractions. The weight operand is
+    NOT broadcast over rows (an earlier row-batched form put 9 live
+    (rows, cin, cout) broadcasts on the VMEM stack and overflowed it)."""
     cout = w9.shape[-1]
     acc = jnp.zeros((rows, cols, cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
             lhs = src[dy:dy + rows, dx:dx + cols, :]
-            rhs = jnp.broadcast_to(w9[3 * dy + dx][None],
-                                   (rows, cin, cout))
             acc += jax.lax.dot_general(
-                lhs, rhs,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                lhs, w9[3 * dy + dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     return acc
 
@@ -69,24 +68,25 @@ def _kernel(x_ref, seg_ref, wsh_ref, bsh_ref, wg_ref, bg_ref, wb_ref,
         # ZEROED: the reference's gamma/beta convs are SAME-padded over the
         # (H, W) activation, i.e. they read zeros outside it — not the values
         # the shared conv would produce there from the padded seg.
-        seg = seg_ref[...].astype(jnp.float32)
+        seg = seg_ref[...]
         a = _conv3x3(seg, wsh_ref[...], H + 2, W + 2)
-        a = jnp.maximum(a + bsh_ref[...][None, None, :], 0.0)
+        a = jnp.maximum(a + bsh_ref[...][0][None, None, :], 0.0)
         row = jax.lax.broadcasted_iota(jnp.int32, (H + 2, W + 2, 1), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (H + 2, W + 2, 1), 1)
         interior = ((row >= 1) & (row <= H) & (col >= 1)
                     & (col <= W)).astype(jnp.float32)
-        actv_ref[...] = a * interior
+        actv_ref[...] = (a * interior).astype(actv_ref.dtype)
 
+    # gamma is applied (and dead) before beta is computed — halves the live
+    # (H, W, cc) affine planes on the VMEM stack vs computing both up front
     actv = actv_ref[...]
-    gamma = _conv3x3(actv, wg_ref[...], H, W) + bg_ref[...][None, None, :]
-    beta = _conv3x3(actv, wb_ref[...], H, W) + bb_ref[...][None, None, :]
-
     x = x_ref[...].astype(jnp.float32)
-    inv = jax.lax.rsqrt(var_ref[...].astype(jnp.float32) + eps)
-    normalized = (x - mu_ref[...][None, None, :]) * inv[None, None, :]
-    out = normalized * (1.0 + gamma) + beta
-    out_ref[...] = out.astype(out_ref.dtype)
+    inv = jax.lax.rsqrt(var_ref[...][0].astype(jnp.float32) + eps)
+    normalized = (x - mu_ref[...][0][None, None, :]) * inv[None, None, :]
+    gamma = _conv3x3(actv, wg_ref[...], H, W) + bg_ref[...][0][None, None, :]
+    out = normalized * (1.0 + gamma)
+    beta = _conv3x3(actv, wb_ref[...], H, W) + bb_ref[...][0][None, None, :]
+    out_ref[...] = (out + beta).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
@@ -104,11 +104,22 @@ def spade_fused_eval(x, seg, w_shared, b_shared, w_gamma, b_gamma, w_beta,
         interpret = jax.default_backend() != "tpu"
     B, H, W, C = x.shape
     Ci = seg.shape[-1]
-    cc = min(CC, C)   # thin blocks (e.g. the 64-wide up_3 mid) use one chunk
+    # channel chunk: a multiple of 128 (Mosaic lane-dim block rule) or the
+    # full (thin) C; larger chunks on small planes cut grid steps, while
+    # H*W*cc stays bounded so the per-step VMEM stack fits the 16 MB limit
+    cc = min(C, max(128, ((64 * 1024) // (H * W)) // 128 * 128))
     seg_pad = jnp.pad(seg, ((0, 0), (2, 2), (2, 2), (0, 0)))
-    wsh = w_shared.reshape(9, Ci, NHIDDEN)
-    wg = w_gamma.reshape(9, NHIDDEN, C)
-    wb = w_beta.reshape(9, NHIDDEN, C)
+    # the shared activation plane + conv weights ride the compute dtype
+    # (bf16 in the generator): MXU-native operands, f32 accumulation —
+    # matching the precision of the XLA path, whose convs run in self.dtype
+    wsh = w_shared.reshape(9, Ci, NHIDDEN).astype(seg.dtype)
+    wg = w_gamma.reshape(9, NHIDDEN, C).astype(x.dtype)
+    wb = w_beta.reshape(9, NHIDDEN, C).astype(x.dtype)
+    # 1-D vectors ride as (1, N): XLA tiles f32[N] as T(N) (no 128-lane
+    # tiling), which Mosaic cannot block — 2-D rows get the (8,128) layout
+    row = lambda v: v.reshape(1, -1)
+    b_shared, b_gamma, b_beta = row(b_shared), row(b_gamma), row(b_beta)
+    mean, var = row(mean), row(var)
 
     def kernel(x_r, seg_r, wsh_r, bsh_r, wg_r, bg_r, wb_r, bb_r, mu_r,
                var_r, out_r, actv_r):
@@ -126,21 +137,29 @@ def spade_fused_eval(x, seg, w_shared, b_shared, w_gamma, b_gamma, w_beta,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, Ci, NHIDDEN), lambda b, c: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NHIDDEN,), lambda b, c: (0,),
+            pl.BlockSpec((1, NHIDDEN), lambda b, c: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, NHIDDEN, cc), lambda b, c: (0, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cc,), lambda b, c: (c,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cc), lambda b, c: (0, c),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((9, NHIDDEN, cc), lambda b, c: (0, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cc,), lambda b, c: (c,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cc,), lambda b, c: (c,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cc,), lambda b, c: (c,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cc), lambda b, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cc), lambda b, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cc), lambda b, c: (0, c),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, H, W, cc), lambda b, c: (b, 0, 0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
-        scratch_shapes=[pltpu.VMEM((H + 2, W + 2, NHIDDEN), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((H + 2, W + 2, NHIDDEN), x.dtype)],
+        # the fat-channel 32x32 blocks need ~17 MB of stack+blocks; raise the
+        # compiler's conservative 16 MB scoped-vmem default (v5e has headroom)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, seg_pad, wsh, b_shared, wg, b_gamma, wb, b_beta, mean, var)
 

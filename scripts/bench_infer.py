@@ -33,11 +33,12 @@ batch = int(os.environ.get("INFER_BATCH", 8))
 iters = int(os.environ.get("INFER_ITERS", 30))
 
 
-def build(fused: bool):
+def build(fused_splat: bool, fused_spade: bool):
     cfg = Config(dataset="packed_clevr_syn", image_size=(size, size),
                  batch_size=batch, num_train_samples=64, min_objects=3,
                  max_objects=10,
-                 use_pallas_splat_eval=fused, fused_spade_eval=fused)
+                 use_pallas_splat_eval=fused_splat,
+                 fused_spade_eval=fused_spade)
     ds = get_dataset(cfg.dataset, "train", cfg)
     cfg.vocab = ds.vocab
     cfg.finalize()
@@ -60,8 +61,8 @@ def build(fused: bool):
     return fwd, states.g.params, states.g.batch_stats, b0
 
 
-def run(fused: bool):
-    fwd, params, stats, b0 = build(fused)
+def run(fused_splat: bool, fused_spade: bool):
+    fwd, params, stats, b0 = build(fused_splat, fused_spade)
     img = fwd(params, stats, b0.objs, b0.boxes)
     float(jax.device_get(img.sum()))  # sync (tunnel-safe)
     t0 = time.perf_counter()
@@ -72,10 +73,13 @@ def run(fused: bool):
     return iters * batch / dt
 
 
-base = run(False)
-fused = run(True)
+base = run(False, False)
+splat = run(True, False)
+spade = run(False, True)
+both = run(True, True)
 print(json.dumps({
     "metric": "attspade_%d_infer_images_per_sec_per_chip" % size,
-    "base": round(base, 2), "fused": round(fused, 2),
-    "speedup": round(fused / base, 3),
+    "base": round(base, 2), "pallas_splat": round(splat, 2),
+    "fused_spade": round(spade, 2), "both": round(both, 2),
+    "best_speedup": round(max(splat, spade, both) / base, 3),
 }))
