@@ -46,12 +46,15 @@ class NLayerDiscriminator(nn.Module):
         kind = self.norm_D[len("spectral"):] if use_sn else self.norm_D
         pad = ((2, 2), (2, 2))  # torch padw = ceil(3/2) = 2
 
-        def conv(y, feats, stride, name, use_bias):
+        def conv(y, feats, stride, name, use_bias, sn):
+            # the reference wraps ONLY the middle convs in the norm-layer
+            # factory (discriminator.py:175-185): the first conv and the
+            # final 1-channel head are bare Conv2d, no spectral norm
             layer = nn.Conv(feats, (4, 4), strides=(stride, stride),
                             padding=pad, use_bias=use_bias, dtype=self.dtype,
                             name=name)
             return (nn.SpectralNorm(layer)(y, update_stats=train)
-                    if use_sn else layer(y))
+                    if (use_sn and sn) else layer(y))
 
         def norm(y):
             if kind == "instance":
@@ -65,16 +68,17 @@ class NLayerDiscriminator(nn.Module):
 
         results = []
         nf = self.ndf
-        x = _leaky(conv(x, nf, 2, "conv0", use_bias=True))
+        x = _leaky(conv(x, nf, 2, "conv0", use_bias=True, sn=False))
         results.append(x)
         for n in range(1, self.n_layers):
             nf = min(nf * 2, 512)
             stride = 1 if n == self.n_layers - 1 else 2
             # bias removed when a norm follows (normalization.py:33-37)
-            x = conv(x, nf, stride, f"conv{n}", use_bias=(kind in ("none", "")))
+            x = conv(x, nf, stride, f"conv{n}",
+                     use_bias=(kind in ("none", "")), sn=True)
             x = _leaky(norm(x))
             results.append(x)
-        x = conv(x, 1, 1, "conv_out", use_bias=True)
+        x = conv(x, 1, 1, "conv_out", use_bias=True, sn=False)
         results.append(x)
         return results
 

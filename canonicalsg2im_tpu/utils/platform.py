@@ -16,6 +16,8 @@ _CACHE_DIR = os.environ.get(
         os.path.abspath(__file__)))), ".jax_cache"))
 
 
+
+
 def apply_platform_override() -> None:
     """Re-apply JAX_PLATFORMS and enable the persistent compilation cache.
 
@@ -27,6 +29,15 @@ def apply_platform_override() -> None:
     want = os.environ.get("JAX_PLATFORMS")
     if want and jax.config.jax_platforms != want:
         jax.config.update("jax_platforms", want)
+    if (want or jax.config.jax_platforms or "") == "cpu":
+        # NO persistent cache for the XLA:CPU backend. Two observed failure
+        # modes, both fatal: (1) serializing a multi-device CPU executable
+        # aborts the process inside jax's put_executable_and_time (SIGABRT
+        # mid test-suite at the 8-device sharding tests); (2) CPU entries
+        # embed host-specific AOT code and this VM migrates between machines
+        # with different CPU feature sets (cpu_aot_loader "machine features
+        # don't match" -> SIGILL). TPU executables have neither problem.
+        return
     try:
         os.makedirs(_CACHE_DIR, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)

@@ -1,0 +1,206 @@
+"""Generate synthetic raw datasets in the reference's on-disk formats.
+
+The image has no network, so the real COCO-Stuff / Visual Genome downloads
+(scripts/download_{coco,vg}.sh) cannot run. This tool fabricates structurally
+faithful stand-ins so every data pipeline (JSON -> dataset -> canonicalization
+-> training -> eval) can be driven end-to-end at the driver's BASELINE
+configurations:
+
+- **COCO-Stuff layout** (`<root>/MSCoco/images/{train2017,val2017}/*.jpg` +
+  `annotations/{instances,stuff}_<split>.json`) — matches what
+  data/dataset_params.py:47-64 expects for --dataset packed_coco/coco.
+- **Visual Genome layout** (`<root>/vg/{image_data,objects,relationships}.json`
+  + `images/VG_100K/*.jpg`) — the input of scripts/preprocess_vg.py, matching
+  the reference preprocessing chain (reference scripts/preprocess_vg.py).
+
+Scenes are procedurally drawn: each object category paints a fixed color
+rectangle at its box, over a sky/grass background — so generators have real
+(category -> appearance, box -> position) structure to learn, and IoU/FID
+trends are meaningful rather than noise.
+
+  python -m scripts.make_synthetic_raw_data --root datasets/synth \
+      --coco_train 512 --coco_val 128 --vg_images 512
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+THING_CATEGORIES = [
+    (1, "person", (220, 40, 40)),
+    (2, "dog", (240, 160, 40)),
+    (3, "car", (40, 60, 220)),
+    (4, "tree", (20, 120, 20)),
+    (5, "ball", (230, 230, 40)),
+    (6, "house", (140, 70, 160)),
+]
+STUFF_CATEGORIES = [(92, "grass", (110, 200, 110)), (93, "sky", (170, 200, 240))]
+
+VG_PREDICATES = ["left of", "right of", "above", "below"]
+
+
+def _draw_scene(rng, size, boxes, cat_ids):
+    """Sky/grass background + one colored rectangle per object (category-keyed
+    color, slight per-instance jitter)."""
+    from PIL import Image, ImageDraw
+
+    img = Image.new("RGB", (size, size))
+    draw = ImageDraw.Draw(img)
+    draw.rectangle([0, 0, size, size // 2], fill=STUFF_CATEGORIES[1][2])
+    draw.rectangle([0, size // 2, size, size], fill=STUFF_CATEGORIES[0][2])
+    colors = {cid: col for cid, _, col in THING_CATEGORIES}
+    for (x, y, w, h), cid in zip(boxes, cat_ids):
+        jitter = rng.integers(-20, 20, size=3)
+        col = tuple(int(np.clip(c + j, 0, 255))
+                    for c, j in zip(colors[cid], jitter))
+        draw.rectangle([x, y, x + w, y + h], fill=col)
+    return img
+
+
+def _sample_objects(rng, size, n):
+    boxes, cats = [], []
+    for _ in range(n):
+        w = float(rng.uniform(0.12, 0.35) * size)
+        h = float(rng.uniform(0.12, 0.35) * size)
+        x = float(rng.uniform(0, size - w))
+        y = float(rng.uniform(0, size - h))
+        boxes.append((x, y, w, h))
+        cats.append(int(THING_CATEGORIES[rng.integers(len(THING_CATEGORIES))][0]))
+    return boxes, cats
+
+
+def _rect_poly(x, y, w, h):
+    return [float(x), float(y), float(x + w), float(y),
+            float(x + w), float(y + h), float(x), float(y + h)]
+
+
+def make_coco(root: str, n_train: int, n_val: int, size: int, seed: int):
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, "MSCoco")
+    ann_dir = os.path.join(base, "annotations")
+    os.makedirs(ann_dir, exist_ok=True)
+    for split, n in (("train2017", n_train), ("val2017", n_val)):
+        img_dir = os.path.join(base, "images", split)
+        os.makedirs(img_dir, exist_ok=True)
+        images, inst_anns, stuff_anns = [], [], []
+        ann_id = 1
+        for i in range(n):
+            iid = (1 if split == "train2017" else 10_000_000) + i
+            fname = f"{iid:012d}.jpg"
+            n_obj = int(rng.integers(4, 9))
+            boxes, cats = _sample_objects(rng, size, n_obj)
+            _draw_scene(rng, size, boxes, cats).save(
+                os.path.join(img_dir, fname), quality=92)
+            images.append({"id": iid, "file_name": fname,
+                           "width": size, "height": size})
+            for (x, y, w, h), cid in zip(boxes, cats):
+                inst_anns.append({
+                    "id": ann_id, "image_id": iid, "category_id": cid,
+                    "bbox": [x, y, w, h], "area": w * h, "iscrowd": 0,
+                    "segmentation": [_rect_poly(x, y, w, h)]})
+                ann_id += 1
+            # grass + sky stuff regions
+            for (sy, sh), (cid, _, _) in zip(((size // 2, size // 2),
+                                              (0, size // 2)),
+                                             STUFF_CATEGORIES):
+                stuff_anns.append({
+                    "id": ann_id, "image_id": iid, "category_id": cid,
+                    "bbox": [0.0, float(sy), float(size), float(sh)],
+                    "area": float(size * sh), "iscrowd": 0,
+                    "segmentation": [_rect_poly(0, sy, size, sh)]})
+                ann_id += 1
+        cats_inst = [{"id": cid, "name": name}
+                     for cid, name, _ in THING_CATEGORIES]
+        cats_stuff = [{"id": cid, "name": name}
+                      for cid, name, _ in STUFF_CATEGORIES]
+        with open(os.path.join(ann_dir, f"instances_{split}.json"), "w") as f:
+            json.dump({"images": images, "categories": cats_inst,
+                       "annotations": inst_anns}, f)
+        with open(os.path.join(ann_dir, f"stuff_{split}.json"), "w") as f:
+            json.dump({"images": images, "categories": cats_stuff,
+                       "annotations": stuff_anns}, f)
+        print(f"coco {split}: {n} images, {len(inst_anns)} instance anns "
+              f"-> {img_dir}")
+
+
+def _spatial_predicate(rng, a, b):
+    """Pick a geometrically TRUE predicate for boxes a, b (so VG relations
+    are learnable, like real annotations)."""
+    ax, ay = a[0] + a[2] / 2, a[1] + a[3] / 2
+    bx, by = b[0] + b[2] / 2, b[1] + b[3] / 2
+    choices = []
+    if ax < bx:
+        choices.append("left of")
+    if ax > bx:
+        choices.append("right of")
+    if ay < by:
+        choices.append("above")
+    if ay > by:
+        choices.append("below")
+    return choices[rng.integers(len(choices))] if choices else "left of"
+
+
+def make_vg(root: str, n_images: int, size: int, seed: int):
+    rng = np.random.default_rng(seed + 1)
+    base = os.path.join(root, "vg")
+    img_dir = os.path.join(base, "images", "VG_100K")
+    os.makedirs(img_dir, exist_ok=True)
+    images, objects, rels = [], [], []
+    oid = 1
+    for i in range(n_images):
+        iid = i + 1
+        fname = f"{iid}.jpg"
+        n_obj = int(rng.integers(4, 9))
+        boxes, cats = _sample_objects(rng, size, n_obj)
+        _draw_scene(rng, size, boxes, cats).save(
+            os.path.join(img_dir, fname), quality=92)
+        images.append({"image_id": iid, "width": size, "height": size,
+                       "url": f"https://synthetic/VG_100K/{fname}"})
+        names = {cid: name for cid, name, _ in THING_CATEGORIES}
+        objs = []
+        for (x, y, w, h), cid in zip(boxes, cats):
+            objs.append({"object_id": oid, "names": [names[cid]],
+                         "x": int(x), "y": int(y), "w": int(w), "h": int(h)})
+            oid += 1
+        objects.append({"image_id": iid, "objects": objs})
+        # 2 relations per object on average, geometrically true
+        rel_list = []
+        for _ in range(2 * n_obj):
+            ia, ib = rng.choice(len(objs), size=2, replace=False)
+            pred = _spatial_predicate(
+                rng, boxes[ia], boxes[ib])
+            rel_list.append({
+                "predicate": pred,
+                "subject": {"object_id": objs[ia]["object_id"]},
+                "object": {"object_id": objs[ib]["object_id"]}})
+        rels.append({"image_id": iid, "relationships": rel_list})
+    with open(os.path.join(base, "image_data.json"), "w") as f:
+        json.dump(images, f)
+    with open(os.path.join(base, "objects.json"), "w") as f:
+        json.dump(objects, f)
+    with open(os.path.join(base, "relationships.json"), "w") as f:
+        json.dump(rels, f)
+    print(f"vg: {n_images} images, {oid - 1} objects -> {base}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--root", default="datasets/synth")
+    ap.add_argument("--coco_train", type=int, default=512)
+    ap.add_argument("--coco_val", type=int, default=128)
+    ap.add_argument("--vg_images", type=int, default=512)
+    ap.add_argument("--image_size", type=int, default=128)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    if args.coco_train:
+        make_coco(args.root, args.coco_train, args.coco_val, args.image_size,
+                  args.seed)
+    if args.vg_images:
+        make_vg(args.root, args.vg_images, args.image_size, args.seed)
+
+
+if __name__ == "__main__":
+    main()

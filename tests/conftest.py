@@ -16,10 +16,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compile cache: the GAN-step tests spend minutes in XLA:CPU
-# compilation; cached executables make repeat suite runs fast
-_cache = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
-os.makedirs(_cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NO persistent compile cache for the XLA:CPU suite. Two fatal failure
+# modes observed with it on: (1) serializing an 8-device CPU executable
+# SIGABRTs inside jax's put_executable_and_time (crashed the suite at the
+# sharding tests twice); (2) CPU entries embed host-specific AOT code and
+# this VM migrates between machines with different CPU feature sets, so
+# loading another host's entry SIGILLs (cpu_aot_loader "machine features
+# don't match"). The TPU CLIs keep their persistent cache
+# (utils/platform.py) — TPU executables have neither problem.
