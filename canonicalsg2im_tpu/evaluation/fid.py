@@ -84,9 +84,8 @@ def _load_dir_batches(path: str, batch_size: int) -> Iterable[np.ndarray]:
     from PIL import Image
 
     files = sorted(
-        str(p) for p in os.scandir(path)
+        p.path for p in os.scandir(path)
         if p.name.lower().endswith((".png", ".jpg", ".jpeg")))
-    files = [f.path if hasattr(f, "path") else f for f in files]
     for i in range(0, len(files) - len(files) % batch_size, batch_size):
         imgs = []
         for f in files[i:i + batch_size]:

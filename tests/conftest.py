@@ -24,3 +24,20 @@ jax.config.update("jax_platforms", "cpu")
 # loading another host's entry SIGILLs (cpu_aot_loader "machine features
 # don't match"). The TPU CLIs keep their persistent cache
 # (utils/platform.py) — TPU executables have neither problem.
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound accumulated XLA:CPU JIT state. Large compiles late in a
+    long-lived process segfault LLVM on this machine class (reproduced 4x:
+    the crash always hits whichever big program compiles last — the 8-device
+    sharding step, then InceptionV3 after that test was isolated). Dropping
+    compiled executables between modules keeps the process young; each
+    module still reuses its own compilations."""
+    yield
+    import jax as _jax
+
+    _jax.clear_caches()

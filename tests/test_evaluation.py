@@ -85,3 +85,19 @@ def test_inception_architecture_matches_torchvision_param_count():
     assert abs(n - 23_834_568) < 60_000, n
     logits, pool = m.apply(v, jnp.zeros((1, 299, 299, 3)))
     assert logits.shape == (1, 1000) and pool.shape == (1, 2048)
+
+
+def test_load_dir_batches_reads_images(tmp_path):
+    """Regression: the FID CLI's directory loader must yield real file paths
+    (it used to stringify os.DirEntry objects and crash on open)."""
+    from PIL import Image
+
+    from canonicalsg2im_tpu.evaluation.fid import _load_dir_batches
+
+    for i in range(4):
+        Image.new("RGB", (16, 16), (i * 40, 0, 0)).save(
+            tmp_path / f"img_{i}.png")
+    batches = list(_load_dir_batches(str(tmp_path), batch_size=2))
+    assert len(batches) == 2
+    assert batches[0].shape == (2, 16, 16, 3)
+    assert batches[0].min() >= -1.0 and batches[0].max() <= 1.0

@@ -595,3 +595,80 @@ def test_infer_detects_mask_net_and_vae_absence():
     assert out["skip_graph_model"] is False
     assert out["mask_size"] == 0
     assert out["mlp_normalization"] == "none"
+
+
+class TorchMaskNet(tnn.Module):
+    """_build_mask_net Sequential (model.py:67-79): per doubling block
+    [Interpolate, Conv2d, BatchNorm2d, ReLU], final 1x1 Conv2d."""
+
+    def __init__(self, dim, mask_size):
+        super().__init__()
+        layers, cur = [], 1
+        while cur < mask_size:
+            layers += [tnn.Upsample(scale_factor=2, mode="nearest"),
+                       tnn.Conv2d(dim, dim, 3, padding=1),
+                       tnn.BatchNorm2d(dim), tnn.ReLU()]
+            cur *= 2
+        layers.append(tnn.Conv2d(dim, 1, 1))
+        self.mask_net = tnn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.mask_net(x)
+
+
+def test_mask_net_import_matches_torch():
+    from canonicalsg2im_tpu.models.sg2layout import MaskNet
+    from scripts.convert_reference_checkpoint import convert_mask_net
+
+    torch.manual_seed(7)
+    rng = np.random.default_rng(7)
+    gen = torch.Generator().manual_seed(7)
+    dim, msize = 10, 8
+    tm = TorchMaskNet(dim, msize)
+    _randomize_bn_stats(tm, gen)
+    tm.eval()
+
+    params, stats = convert_mask_net(
+        SubDict(_state(tm.state_dict()), set()).sub("mask_net"))
+    jm = MaskNet(dim, msize)
+    x = rng.normal(size=(3, 1, 1, dim)).astype(np.float32)
+    variables = jm.init(jax.random.PRNGKey(0), x, train=False)
+    mp = overlay_strict(variables["params"], params)
+    ms = overlay_strict(variables["batch_stats"], stats)
+    j = jm.apply({"params": mp, "batch_stats": ms}, x, train=False)
+    with torch.no_grad():
+        t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    _allclose(j, t, atol=1e-4)
+
+
+def test_mask_discriminator_import_overlay_and_forward():
+    """Structure-level check for d_mask_state: the converted tree overlays
+    strictly onto MultiscaleMaskDiscriminator (numerics of the PatchGAN body
+    are covered by the NLayer cases above via the same mapper)."""
+    from canonicalsg2im_tpu.models.discriminators import (
+        MultiscaleMaskDiscriminator)
+    from scripts.convert_reference_checkpoint import (
+        convert_mask_discriminator)
+
+    torch.manual_seed(8)
+    rng = np.random.default_rng(8)
+    num_objects = max(VOCAB["object_name_to_idx"].values()) + 1
+    tm = TorchMultiscaleDiscriminator(VOCAB["attributes"], 4,
+                                      num_objects + 1, 8, 2, 3)
+    _converge_sn(tm)
+    tm.eval()
+    sd = {k: v for k, v in _state(tm.state_dict()).items()
+          if k.startswith("discriminator_")}
+    params, stats = convert_mask_discriminator(SubDict(sd, set()),
+                                               "spectralinstance")
+
+    jm = MultiscaleMaskDiscriminator(vocab=VOCAB, num_D=2, n_layers_D=3,
+                                     ndf=8)
+    objs = rng.integers(1, 3, size=(2, 4, A)).astype(np.int32)
+    masks = rng.uniform(size=(2, 4, 16, 16)).astype(np.float32)
+    variables = jm.init(jax.random.PRNGKey(0), objs, masks, train=False)
+    mp = overlay_strict(variables["params"], params)
+    ms = overlay_strict(variables["batch_stats"], stats)
+    res, real = jm.apply({"params": mp, "batch_stats": ms}, objs, masks,
+                         train=False)
+    assert len(res) == 2 and real.shape == (8,)

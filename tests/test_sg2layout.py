@@ -185,7 +185,30 @@ def test_reinforce_updates_converse_only_via_its_loss():
 
 def test_data_parallel_matches_single_device():
     """1-chip vs 8-chip pjit on the same global batch — the TPU analogue of
-    the reference SyncBN/DataParallel correctness claim (SURVEY.md §4)."""
+    the reference SyncBN/DataParallel correctness claim (SURVEY.md §4).
+
+    Runs in a FRESH subprocess: compiling this 8-device program late in a
+    process that has already JIT-compiled hundreds of XLA:CPU programs
+    segfaults LLVM on some hosts (reproduced 3x at this exact test in full
+    suite runs; passes every time in a young process). Same isolation
+    pytest-forked would provide, without the dependency."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+               JAX_PLATFORMS="cpu")
+    if "xla_force_host_platform_device_count" not in env.get("XLA_FLAGS", ""):
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8").strip()
+    r = subprocess.run([sys.executable, __file__], capture_output=True,
+                       text=True, cwd=repo, env=env, timeout=900)
+    assert r.returncode == 0, f"stdout:{r.stdout[-2000:]}\nstderr:{r.stderr[-2000:]}"
+
+
+def _data_parallel_equivalence_check():
     from canonicalsg2im_tpu.parallel import create_mesh, replicate, shard_batch
 
     cfg, ds = _cfg(batch_size=8)
@@ -211,3 +234,12 @@ def test_data_parallel_matches_single_device():
     p8 = jax.tree.leaves(s8.params)
     for a, b in zip(p1, p8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+if __name__ == "__main__":
+    # subprocess entry for test_data_parallel_matches_single_device: force
+    # the 8-device CPU platform exactly like conftest.py (sitecustomize has
+    # already latched jax before this runs)
+    jax.config.update("jax_platforms", "cpu")
+    _data_parallel_equivalence_check()
+    print("data-parallel equivalence OK")
