@@ -40,11 +40,17 @@ class FidActivations:
             variables, self.pretrained = load_inception_variables(weights_dir)
             variant = "torchvision"
         self.variables = variables
-        model = InceptionV3(variant=variant)
+        # With random fallback weights, per-batch BN statistics keep the
+        # features informative (see InceptionV3.train_bn).
+        model = InceptionV3(variant=variant, train_bn=not self.pretrained)
 
         def _acts(variables, imgs):
             x = resize_bilinear(imgs, 299)
-            _, pool = model.apply(variables, x)
+            if model.train_bn:
+                (_, pool), _ = model.apply(variables, x,
+                                           mutable=["batch_stats"])
+            else:
+                _, pool = model.apply(variables, x)
             return pool
 
         self._acts = jax.jit(_acts)

@@ -11,6 +11,7 @@ the reference constructs it (inception.py:16).
 """
 from __future__ import annotations
 
+import functools
 import os
 
 import flax.linen as nn
@@ -24,14 +25,24 @@ class BasicConv2d(nn.Module):
     kernel: tuple
     stride: tuple = (1, 1)
     padding: tuple | str = ((0, 0), (0, 0))
+    # True -> normalize by the current batch's statistics instead of the
+    # (loaded) running stats. Only used by the no-pretrained-weights fallback:
+    # with random weights the identity running stats let the signal collapse
+    # (~1e-6 activation std at pool3), making every FID ~0 and IS ~1.
+    train_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(self.out, self.kernel, strides=self.stride,
                     padding=self.padding, use_bias=False, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+        x = nn.BatchNorm(use_running_average=not self.train_bn, epsilon=1e-3,
                          name="bn")(x)
         return nn.relu(x)
+
+
+def _conv(train_bn):
+    """BasicConv2d constructor with the block's train_bn baked in."""
+    return functools.partial(BasicConv2d, train_bn=train_bn)
 
 
 def _pad(k):
@@ -57,9 +68,11 @@ def _pool_3x3_pad1(x, mode: str):
 class InceptionA(nn.Module):
     pool_features: int
     pool_mode: str = "avg"
+    train_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
+        BasicConv2d = _conv(self.train_bn)
         b1 = BasicConv2d(64, (1, 1), name="branch1x1")(x)
         b5 = BasicConv2d(48, (1, 1), name="branch5x5_1")(x)
         b5 = BasicConv2d(64, (5, 5), padding=_pad(2), name="branch5x5_2")(b5)
@@ -72,8 +85,11 @@ class InceptionA(nn.Module):
 
 
 class InceptionB(nn.Module):
+    train_bn: bool = False
+
     @nn.compact
     def __call__(self, x):
+        BasicConv2d = _conv(self.train_bn)
         b3 = BasicConv2d(384, (3, 3), stride=(2, 2), name="branch3x3")(x)
         bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
         bd = BasicConv2d(96, (3, 3), padding=_pad(1), name="branch3x3dbl_2")(bd)
@@ -85,9 +101,11 @@ class InceptionB(nn.Module):
 class InceptionC(nn.Module):
     c7: int
     pool_mode: str = "avg"
+    train_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
+        BasicConv2d = _conv(self.train_bn)
         c7 = self.c7
         b1 = BasicConv2d(192, (1, 1), name="branch1x1")(x)
         b7 = BasicConv2d(c7, (1, 1), name="branch7x7_1")(x)
@@ -110,8 +128,11 @@ class InceptionC(nn.Module):
 
 
 class InceptionD(nn.Module):
+    train_bn: bool = False
+
     @nn.compact
     def __call__(self, x):
+        BasicConv2d = _conv(self.train_bn)
         b3 = BasicConv2d(192, (1, 1), name="branch3x3_1")(x)
         b3 = BasicConv2d(320, (3, 3), stride=(2, 2), name="branch3x3_2")(b3)
         b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1")(x)
@@ -126,9 +147,11 @@ class InceptionD(nn.Module):
 
 class InceptionE(nn.Module):
     pool_mode: str = "avg"
+    train_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
+        BasicConv2d = _conv(self.train_bn)
         b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x)
         b3 = BasicConv2d(384, (1, 1), name="branch3x3_1")(x)
         b3a = BasicConv2d(384, (1, 3), padding=((0, 0), (1, 1)),
@@ -160,11 +183,17 @@ class InceptionV3(nn.Module):
     and the classifier head is 1008-way (the TF-ported weights)."""
 
     variant: str = "torchvision"  # 'torchvision' | 'fid'
+    # Per-batch BN statistics — the no-pretrained-weights fallback (see
+    # BasicConv2d.train_bn). Callers must then apply with
+    # mutable=["batch_stats"] and discard the mutated stats.
+    train_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
         fid = self.variant == "fid"
         ac_pool = "avg_excl" if fid else "avg"
+        tb = self.train_bn
+        BasicConv2d = _conv(tb)
         x = BasicConv2d(32, (3, 3), stride=(2, 2), name="Conv2d_1a_3x3")(x)
         x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
         x = BasicConv2d(64, (3, 3), padding=_pad(1), name="Conv2d_2b_3x3")(x)
@@ -172,17 +201,17 @@ class InceptionV3(nn.Module):
         x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
         x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = InceptionA(32, ac_pool, name="Mixed_5b")(x)
-        x = InceptionA(64, ac_pool, name="Mixed_5c")(x)
-        x = InceptionA(64, ac_pool, name="Mixed_5d")(x)
-        x = InceptionB(name="Mixed_6a")(x)
-        x = InceptionC(128, ac_pool, name="Mixed_6b")(x)
-        x = InceptionC(160, ac_pool, name="Mixed_6c")(x)
-        x = InceptionC(160, ac_pool, name="Mixed_6d")(x)
-        x = InceptionC(192, ac_pool, name="Mixed_6e")(x)
-        x = InceptionD(name="Mixed_7a")(x)
-        x = InceptionE(ac_pool, name="Mixed_7b")(x)
-        x = InceptionE("max" if fid else "avg", name="Mixed_7c")(x)
+        x = InceptionA(32, ac_pool, tb, name="Mixed_5b")(x)
+        x = InceptionA(64, ac_pool, tb, name="Mixed_5c")(x)
+        x = InceptionA(64, ac_pool, tb, name="Mixed_5d")(x)
+        x = InceptionB(tb, name="Mixed_6a")(x)
+        x = InceptionC(128, ac_pool, tb, name="Mixed_6b")(x)
+        x = InceptionC(160, ac_pool, tb, name="Mixed_6c")(x)
+        x = InceptionC(160, ac_pool, tb, name="Mixed_6d")(x)
+        x = InceptionC(192, ac_pool, tb, name="Mixed_6e")(x)
+        x = InceptionD(tb, name="Mixed_7a")(x)
+        x = InceptionE(ac_pool, tb, name="Mixed_7b")(x)
+        x = InceptionE("max" if fid else "avg", tb, name="Mixed_7c")(x)
         pool = x.mean(axis=(1, 2))  # adaptive avg pool to 1x1
         logits = nn.Dense(1008 if fid else 1000, name="fc")(pool)
         return logits, pool
@@ -250,24 +279,60 @@ class InceptionScore:
     def __init__(self, weights_dir: str = "weights", resize: bool = True):
         self.variables, self.pretrained = load_inception_variables(weights_dir)
         self.resize = resize
-        self.model = InceptionV3()
+        # Without pretrained weights, per-batch BN statistics keep the random
+        # features informative (running stats are the init identity and the
+        # signal collapses by pool3) — numbers stay relative-only either way.
+        self.model = InceptionV3(train_bn=not self.pretrained)
         self._predict = jax.jit(self._predict_impl)
+        self._fb_temp = None
         self.clean()
 
     def _predict_impl(self, variables, imgs):
         x = resize_bilinear(imgs, 299) if self.resize else imgs
-        logits, _ = self.model.apply(variables, x)
-        return jax.nn.softmax(logits, axis=1)
+        if self.model.train_bn:
+            (logits, _), _ = self.model.apply(variables, x,
+                                              mutable=["batch_stats"])
+        else:
+            logits, _ = self.model.apply(variables, x)
+        return logits
 
     def clean(self):
-        self.preds = np.zeros((0, 1000))
+        self.logits = np.zeros((0, 1000))
 
     def __call__(self, imgs):
         p = np.asarray(self._predict(self.variables, imgs))
-        self.preds = np.append(self.preds, p, axis=0)
+        self.logits = np.append(self.logits, p, axis=0)
+
+    def _fallback_temperature(self):
+        """Fixed softmax temperature for the random-weight fallback,
+        calibrated once on a seeded noise batch. Raw random-net logits vary
+        by only ~0.1 across classes, so plain softmax is near-uniform and IS
+        pins at 1.0 for any input. Scaling by the evaluated set's own std
+        would erase the *magnitude* of diversity (a near-constant set would
+        score like a diverse one), so the scale must come from a fixed
+        reference instead: maximally-diverse noise inputs."""
+        if self._fb_temp is None:
+            rng = np.random.default_rng(0)
+            ref = rng.uniform(-1, 1, (8, 299, 299, 3)).astype(np.float32)
+            lg = np.asarray(self._predict(self.variables, ref))
+            # mean per-class std across the reference set ≙ "fully diverse"
+            self._fb_temp = float(lg.std(axis=0).mean()) + 1e-8
+        return self._fb_temp
+
+    def _softmax_preds(self):
+        logits = self.logits
+        if not self.pretrained and logits.shape[0] > 1:
+            # Center per class across the evaluated set (removes the
+            # weight-dependent bias; keeps per-image variation), then apply
+            # the fixed reference temperature with a gain that lets a
+            # fully-diverse set produce peaked, image-dependent softmaxes.
+            logits = logits - logits.mean(axis=0, keepdims=True)
+            logits = logits * (8.0 / self._fallback_temperature())
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        return e / e.sum(axis=1, keepdims=True)
 
     def compute_score(self, splits: int = 1):
-        preds = self.preds
+        preds = self._softmax_preds()
         N = preds.shape[0]
         if N == 0:
             return 0.0, 0.0

@@ -101,3 +101,39 @@ def test_load_dir_batches_reads_images(tmp_path):
     assert len(batches) == 2
     assert batches[0].shape == (2, 16, 16, 3)
     assert batches[0].min() >= -1.0 and batches[0].max() <= 1.0
+
+
+def test_fallback_activations_not_collapsed():
+    """Without pretrained weights, per-batch BN (train_bn) must keep the
+    pool3 features alive — with init running-stats they collapse to ~1e-6
+    std, pinning every FID near 0 and IS at 1.0 (the round-1 failure mode)."""
+    from canonicalsg2im_tpu.evaluation.fid import FidActivations
+
+    fa = FidActivations(weights_dir="weights")
+    assert fa.pretrained is False
+    rng = np.random.default_rng(7)
+    imgs = rng.uniform(-1, 1, size=(8, 75, 75, 3)).astype(np.float32)
+    fa(imgs)
+    acts = np.concatenate(fa.acts, axis=0)
+    assert acts.shape == (8, 2048)
+    # per-image variation across the feature dim must be macroscopic
+    assert float(acts.std()) > 1e-2, float(acts.std())
+
+
+def test_fallback_inception_score_responds_to_diversity():
+    """Fallback IS (z-scored logits) must rank a diverse set above a
+    near-constant set — random-weight softmax alone pins both at 1.0."""
+    from canonicalsg2im_tpu.evaluation.inception import InceptionScore
+
+    rng = np.random.default_rng(5)
+    diverse = rng.uniform(-1, 1, size=(16, 75, 75, 3)).astype(np.float32)
+    constant = np.tile(diverse[:1], (16, 1, 1, 1)) \
+        + rng.normal(0, 1e-3, (16, 75, 75, 3)).astype(np.float32)
+
+    is_div = InceptionScore(weights_dir="weights")
+    is_div(diverse)
+    is_con = InceptionScore(weights_dir="weights")
+    is_con(constant)
+    m_div, _ = is_div.compute_score()
+    m_con, _ = is_con.compute_score()
+    assert m_div > m_con, (m_div, m_con)
