@@ -164,8 +164,8 @@ class Config:
     # (B, C/cc) grid serializes over batch items and loses ~2x at the
     # <=64px planes it covers. Both kernels are exact and remain available
     # for single-image serving and standalone splat calls.
-    use_pallas_splat_eval: Optional[bool] = None
-    fused_spade_eval: Optional[bool] = None
+    use_pallas_splat_eval: bool = False
+    fused_spade_eval: bool = False
     remat_generator: bool = False
     # recompute each SPADE's gamma/beta branch in the backward instead of
     # saving its block-resolution activations (surgical traffic/memory trade
@@ -194,10 +194,6 @@ class Config:
         """Derive dependent fields once the vocab is known (args.py:215-238)."""
         if self.vocab is not None:
             self.semantic_nc = len(self.vocab["attributes"]) * self.embedding_dim
-        if self.use_pallas_splat_eval is None:
-            self.use_pallas_splat_eval = False
-        if self.fused_spade_eval is None:
-            self.fused_spade_eval = False
         return self
 
     @property

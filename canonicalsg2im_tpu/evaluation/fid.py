@@ -92,7 +92,10 @@ def _load_dir_batches(path: str, batch_size: int) -> Iterable[np.ndarray]:
     files = sorted(
         p.path for p in os.scandir(path)
         if p.name.lower().endswith((".png", ".jpg", ".jpeg")))
-    for i in range(0, len(files) - len(files) % batch_size, batch_size):
+    # every image counts toward the statistics — the last batch may be
+    # short, like the reference, which clamps batch_size to N
+    # (fid_score.py:246-250)
+    for i in range(0, len(files), batch_size):
         imgs = []
         for f in files[i:i + batch_size]:
             arr = np.asarray(Image.open(f).convert("RGB"), dtype=np.float32)

@@ -104,10 +104,7 @@ def spade_fused_eval(x, seg, w_shared, b_shared, w_gamma, b_gamma, w_beta,
         interpret = jax.default_backend() != "tpu"
     B, H, W, C = x.shape
     Ci = seg.shape[-1]
-    # channel chunk: a multiple of 128 (Mosaic lane-dim block rule) or the
-    # full (thin) C; larger chunks on small planes cut grid steps, while
-    # H*W*cc stays bounded so the per-step VMEM stack fits the 16 MB limit
-    cc = min(C, max(128, ((64 * 1024) // (H * W)) // 128 * 128))
+    cc = _channel_chunk(C, H, W)
     seg_pad = jnp.pad(seg, ((0, 0), (2, 2), (2, 2), (0, 0)))
     # the shared activation plane + conv weights ride the compute dtype
     # (bf16 in the generator): MXU-native operands, f32 accumulation —
@@ -164,9 +161,19 @@ def spade_fused_eval(x, seg, w_shared, b_shared, w_gamma, b_gamma, w_beta,
     )(x, seg_pad, wsh, b_shared, wg, b_gamma, wb, b_beta, mean, var)
 
 
+def _channel_chunk(C: int, H: int, W: int) -> int:
+    """Output-channel chunk per grid step: a multiple of 128 (Mosaic
+    lane-dim block rule) or the full (thin) C; larger chunks on small
+    planes cut grid steps, while H*W*cc stays bounded so the per-step VMEM
+    stack fits the 16 MB limit."""
+    return min(C, max(CC, ((64 * 1024) // (H * W)) // CC * CC))
+
+
 def spade_fused_supported(H: int, W: int, C: int, norm_kind: str) -> bool:
     """Gate for the fused eval path: batch-stats norms (running statistics
     are elementwise in eval), plane small enough for VMEM, channel width a
-    multiple of the chunk."""
+    multiple of the chunk the kernel will actually use (e.g. C=384 at 16x16
+    picks cc=256 and 384 % 256 != 0 — unsupported, even though 384 % 128
+    == 0)."""
     return (norm_kind in ("syncbatch", "batch") and H * W <= MAX_PLANE
-            and C % min(CC, C) == 0)
+            and C % _channel_chunk(C, H, W) == 0)

@@ -33,6 +33,23 @@ THN = 64  # NHWC-variant tile height: the (THN, TW, TDL) f32 output block is
 O_MAX_NHWC = 64  # VMEM bound for the NHWC kernel's (THN, TW, O) broadcast
 
 
+def _count_tile_overlaps(bounds_ref, b, ti, tj, th, tw, O):
+    """Scalar test shared by all splat kernels: how many of the O objects'
+    prefetched [y_lo, y_hi, x_lo, x_hi) bounds intersect tile (ti, tj) of
+    th x tw pixels. Tiles with zero hits skip all vector work."""
+    def count(o, acc):
+        y_lo = bounds_ref[b, o, 0]
+        y_hi = bounds_ref[b, o, 1]
+        x_lo = bounds_ref[b, o, 2]
+        x_hi = bounds_ref[b, o, 3]
+        hit = jnp.logical_and(
+            jnp.logical_and(y_lo < ti * th + th, y_hi > ti * th),
+            jnp.logical_and(x_lo < tj * tw + tw, x_hi > tj * tw))
+        return acc + hit.astype(jnp.int32)
+
+    return jax.lax.fori_loop(0, O, count, 0)
+
+
 def _kernel(bounds_ref, vecs_ref, cov_y_ref, cov_x_ref, out_ref):
     """One (b, th, tw) tile.
 
@@ -53,18 +70,7 @@ def _kernel(bounds_ref, vecs_ref, cov_y_ref, cov_x_ref, out_ref):
     y_start = pl.multiple_of(ti * TH, TH)
     x_start = pl.multiple_of(tj * TW, TW)
     Dc, O = vecs_ref.shape
-
-    def count_overlaps(o, acc):
-        y_lo = bounds_ref[b, o, 0]
-        y_hi = bounds_ref[b, o, 1]
-        x_lo = bounds_ref[b, o, 2]
-        x_hi = bounds_ref[b, o, 3]
-        hit = jnp.logical_and(
-            jnp.logical_and(y_lo < ti * TH + TH, y_hi > ti * TH),
-            jnp.logical_and(x_lo < tj * TW + TW, x_hi > tj * TW))
-        return acc + hit.astype(jnp.int32)
-
-    n_hit = jax.lax.fori_loop(0, O, count_overlaps, 0)
+    n_hit = _count_tile_overlaps(bounds_ref, b, ti, tj, TH, TW, O)
 
     out_ref[...] = jnp.zeros_like(out_ref)
 
@@ -105,18 +111,7 @@ def _kernel_nhwc(bounds_ref, vecs_ref, cy_t_ref, cx_t_ref, out_ref):
     O = vecs_ref.shape[0]
     th = cy_t_ref.shape[0]
     tw = cx_t_ref.shape[0]
-
-    def count_overlaps(o, acc):
-        y_lo = bounds_ref[b, o, 0]
-        y_hi = bounds_ref[b, o, 1]
-        x_lo = bounds_ref[b, o, 2]
-        x_hi = bounds_ref[b, o, 3]
-        hit = jnp.logical_and(
-            jnp.logical_and(y_lo < ti * th + th, y_hi > ti * th),
-            jnp.logical_and(x_lo < tj * tw + tw, x_hi > tj * tw))
-        return acc + hit.astype(jnp.int32)
-
-    n_hit = jax.lax.fori_loop(0, O, count_overlaps, 0)
+    n_hit = _count_tile_overlaps(bounds_ref, b, ti, tj, th, tw, O)
 
     out_ref[...] = jnp.zeros_like(out_ref)
 
@@ -354,18 +349,7 @@ def _kernel_masks(bounds_ref, boxesv_ref, vecs_ref, masks_ref, out_ref, *,
     tj = pl.program_id(2)
     M, _, O = masks_ref.shape
     th, tw = out_ref.shape[0], out_ref.shape[1]
-
-    def count_overlaps(o, acc):
-        y_lo = bounds_ref[b, o, 0]
-        y_hi = bounds_ref[b, o, 1]
-        x_lo = bounds_ref[b, o, 2]
-        x_hi = bounds_ref[b, o, 3]
-        hit = jnp.logical_and(
-            jnp.logical_and(y_lo < ti * th + th, y_hi > ti * th),
-            jnp.logical_and(x_lo < tj * tw + tw, x_hi > tj * tw))
-        return acc + hit.astype(jnp.int32)
-
-    n_hit = jax.lax.fori_loop(0, O, count_overlaps, 0)
+    n_hit = _count_tile_overlaps(bounds_ref, b, ti, tj, th, tw, O)
 
     out_ref[...] = jnp.zeros_like(out_ref)
 

@@ -80,8 +80,10 @@ class StepCfg(NamedTuple):
     compute_dtype: str = "float32"
     norm_D: str = "spectralinstance"
     # one batched D/VGG forward for the (fake, real) pair — exact for
-    # per-sample norms; switchable for A/B perf measurement
-    batch_fake_real: bool = True
+    # per-sample norms; switchable for A/B perf measurement. Default matches
+    # Config.batch_fake_real: off (measured neutral-to-negative at the bench
+    # shapes, see docs/PERF.md).
+    batch_fake_real: bool = False
     # Rematerialize loss-side network forwards instead of saving their
     # activations for backward: "none" | "vgg" | "all". The fused step runs
     # at the HBM ceiling (temp 13.7G of 15.75G at 256^2 batch 16; the VGG

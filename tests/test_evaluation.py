@@ -94,13 +94,17 @@ def test_load_dir_batches_reads_images(tmp_path):
 
     from canonicalsg2im_tpu.evaluation.fid import _load_dir_batches
 
-    for i in range(4):
+    for i in range(5):
         Image.new("RGB", (16, 16), (i * 40, 0, 0)).save(
             tmp_path / f"img_{i}.png")
     batches = list(_load_dir_batches(str(tmp_path), batch_size=2))
-    assert len(batches) == 2
+    # remainder images must not be dropped (was: 5 % 2 = 1 image silently
+    # excluded; a dir smaller than batch_size yielded nothing at all)
+    assert [b.shape[0] for b in batches] == [2, 2, 1]
     assert batches[0].shape == (2, 16, 16, 3)
     assert batches[0].min() >= -1.0 and batches[0].max() <= 1.0
+    small = list(_load_dir_batches(str(tmp_path), batch_size=50))
+    assert [b.shape[0] for b in small] == [5]
 
 
 def test_fallback_activations_not_collapsed():
@@ -110,7 +114,8 @@ def test_fallback_activations_not_collapsed():
     from canonicalsg2im_tpu.evaluation.fid import FidActivations
 
     fa = FidActivations(weights_dir="weights")
-    assert fa.pretrained is False
+    if fa.pretrained:
+        pytest.skip("real Inception weights present; fallback path unused")
     rng = np.random.default_rng(7)
     imgs = rng.uniform(-1, 1, size=(8, 75, 75, 3)).astype(np.float32)
     fa(imgs)
@@ -131,6 +136,8 @@ def test_fallback_inception_score_responds_to_diversity():
         + rng.normal(0, 1e-3, (16, 75, 75, 3)).astype(np.float32)
 
     is_div = InceptionScore(weights_dir="weights")
+    if is_div.pretrained:
+        pytest.skip("real Inception weights present; fallback path unused")
     is_div(diverse)
     is_con = InceptionScore(weights_dir="weights")
     is_con(constant)

@@ -75,6 +75,21 @@ def test_supported_gate():
     assert not spade_fused_supported(128, 128, 128, "syncbatch")  # plane
     assert not spade_fused_supported(32, 32, 128, "instance")     # norm kind
     assert spade_fused_supported(64, 64, 64, "batch")
+    # C divisible by 128 but NOT by the kernel's actual chunk (16x16 picks
+    # cc=256): must be rejected, else channels past the chunk go unwritten
+    assert not spade_fused_supported(16, 16, 384, "syncbatch")
+    assert spade_fused_supported(16, 16, 512, "syncbatch")
+
+
+def test_gate_consistent_with_kernel_chunk():
+    """Every supported (H, W, C) must have C divisible by the chunk the
+    kernel will use — the C=384@16x16 failure mode, swept broadly."""
+    from canonicalsg2im_tpu.ops.pallas_spade import _channel_chunk
+
+    for hw in (8, 16, 32, 64):
+        for C in (64, 128, 256, 384, 512, 640, 768, 1024):
+            if spade_fused_supported(hw, hw, C, "syncbatch"):
+                assert C % _channel_chunk(C, hw, hw) == 0, (hw, C)
 
 
 def test_generator_fused_eval_matches_standard():
