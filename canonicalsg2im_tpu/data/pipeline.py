@@ -194,24 +194,40 @@ class BucketedLoader:
             return
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
 
         def worker():
             try:
                 for b in self._epoch_batches():
-                    q.put(b)
+                    # bounded put so an abandoned iterator (consumer broke
+                    # out early, e.g. the val loop) doesn't pin this thread
+                    # + prefetch batches forever on a full queue
+                    while not stop.is_set():
+                        try:
+                            q.put(b, timeout=0.2)
+                            break
+                        except queue_mod.Full:
+                            continue
+                    if stop.is_set():
+                        return
                 q.put(sentinel)
             except BaseException as e:  # propagate to the consumer
-                q.put(e)
+                if not stop.is_set():
+                    q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # runs on generator close/GC when the consumer abandons the loop
+            stop.set()
 
     def close(self) -> None:
         if self._pool is not None:

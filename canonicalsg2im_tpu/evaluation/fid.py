@@ -98,18 +98,30 @@ def _load_dir_batches(path: str, batch_size: int) -> Iterable[np.ndarray]:
     for i in range(0, len(files), batch_size):
         imgs = []
         for f in files[i:i + batch_size]:
-            arr = np.asarray(Image.open(f).convert("RGB"), dtype=np.float32)
+            im = Image.open(f).convert("RGB")
+            if imgs and im.size != (imgs[0].shape[1], imgs[0].shape[0]):
+                # heterogeneous directory (e.g. raw COCO/VG val images):
+                # resize to the batch's first size so the stack is legal —
+                # the model bilinearly resizes to 299 internally regardless
+                im = im.resize((imgs[0].shape[1], imgs[0].shape[0]),
+                               Image.BILINEAR)
+            arr = np.asarray(im, dtype=np.float32)
             imgs.append(arr / 127.5 - 1.0)
         yield np.stack(imgs)
 
 
-def _path_statistics(path: str, batch_size: int, weights_dir: str):
+def _path_statistics(path: str, batch_size: int, weights_dir: str,
+                     acc: FidActivations | None = None):
     """Image directory -> (mu, sigma); a .npz path loads precomputed stats
-    (the reference CLI accepts either, fid_score.py:212-229)."""
+    (the reference CLI accepts either, fid_score.py:212-229). Pass ``acc``
+    to reuse one loaded/jitted Inception across calls (its accumulated
+    activations are reset)."""
     if path.endswith(".npz"):
         with np.load(path) as f:
             return f["mu"], f["sigma"]
-    acc = FidActivations(weights_dir)
+    if acc is None:
+        acc = FidActivations(weights_dir)
+    acc.acts = []
     for batch in _load_dir_batches(path, batch_size):
         acc(batch)
     return acc.statistics()
@@ -124,7 +136,9 @@ def save_fid_statistics(path: str, out_npz: str, batch_size: int = 50,
 def calculate_fid_given_paths(paths, batch_size: int = 50,
                               weights_dir: str = "weights") -> float:
     """fid_score.py:232-250 — FID between two image dirs / stats files."""
-    (m1, s1), (m2, s2) = (_path_statistics(p, batch_size, weights_dir)
+    acc = (FidActivations(weights_dir)
+           if not all(p.endswith(".npz") for p in paths) else None)
+    (m1, s1), (m2, s2) = (_path_statistics(p, batch_size, weights_dir, acc)
                           for p in paths)
     return float(calculate_frechet_distance(m1, s1, m2, s2))
 

@@ -134,10 +134,12 @@ class CNN(nn.Module):
                 res_in = x
                 y = norm(x) if not first_conv else x
                 y = act(y)
-                y = nn.Conv(x.shape[-1], (3, 3), padding="SAME")(y)
+                y = nn.Conv(x.shape[-1], (3, 3), padding="SAME",
+                            dtype=self.dtype)(y)
                 y = norm(y)
                 y = act(y)
-                y = nn.Conv(x.shape[-1], (3, 3), padding="SAME")(y)
+                y = nn.Conv(x.shape[-1], (3, 3), padding="SAME",
+                            dtype=self.dtype)(y)
                 x = res_in + y
                 first_conv = False
             elif s[0] == "U":

@@ -198,9 +198,20 @@ def _apply(state, params, args, kwargs, train: bool, rngs=None):
     return out, state.batch_stats
 
 
-def _masked_hinge_g(scores, mask):
+def _masked_gan_g(scores, mask, mode: str):
+    """Generator-side GAN loss over per-slot (B, O) scores with validity
+    masking — the fixed-shape replacement for the reference's
+    remove_dummy_objects (sg2im/utils.py:56-63): dummy/padding crop scores
+    must not enter the mean for ANY gan mode."""
     m = mask.astype(scores.dtype)
-    return -(scores * m).sum() / jnp.maximum(m.sum(), 1.0)
+    if mode in ("hinge", "w"):
+        elem = -scores
+    elif mode == "ls":
+        elem = (scores - 1.0) ** 2
+    else:  # 'original' — numerically-stable BCE with target 1
+        elem = (jnp.clip(scores, 0.0, None) - scores
+                + jnp.log1p(jnp.exp(-jnp.abs(scores))))
+    return (elem * m).sum() / jnp.maximum(m.sum(), 1.0)
 
 
 def _masked_multiscale_gan_loss(feature_lists, slot_mask, target_is_real: bool,
@@ -365,10 +376,7 @@ def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
                 return sf, real, ac
 
             scores_fake, real, ac_loss = ckpt(_score_obj)(img_pred)
-            if sc.gan_mode == "hinge":
-                g_obj = _masked_hinge_g(scores_fake, real)
-            else:
-                g_obj = criterion(scores_fake, True, for_discriminator=False)
+            g_obj = _masked_gan_g(scores_fake, real, sc.gan_mode)
             losses["GAN_Obj"] = g_obj * sc.w_d_obj
             losses["GAN_Ac"] = ac_loss * sc.w_ac
             total = total + losses["GAN_Obj"] + losses["GAN_Ac"]

@@ -40,13 +40,11 @@ def _forward(state, params, batch, rng, train: bool):
     return obj_vecs, boxes_pred, masks_pred, state.batch_stats
 
 
-@partial(jax.jit, static_argnames=("non_meta_rels", "bbox_weight", "mask_weight",
-                                   "learned_converse"), donate_argnames=("state",))
-def layout_train_step(state, batch, rng, *, non_meta_rels: Sequence[int],
-                      bbox_weight: float = 10.0, mask_weight: float = 0.0,
-                      learned_converse: bool = False):
-    """Returns (new_state, metrics dict, converse weight matrix for the host
-    data pipeline)."""
+def _train_body(state, batch, rng, non_meta_rels, bbox_weight, mask_weight,
+                learned_converse):
+    """One gradient update — the SINGLE definition of the layout-stage loss,
+    traced by both the single-step and the lax.scan multi-step entry points
+    (their bit-equivalence is asserted in tests/test_sg2layout.py)."""
 
     def loss_fn(params):
         _, boxes_pred, masks_pred, new_stats = _forward(
@@ -83,6 +81,18 @@ def layout_train_step(state, batch, rng, *, non_meta_rels: Sequence[int],
     state = state.apply_gradients(grads=grads)
     if new_stats:
         state = state.replace(batch_stats=new_stats)
+    return state, metrics
+
+
+@partial(jax.jit, static_argnames=("non_meta_rels", "bbox_weight", "mask_weight",
+                                   "learned_converse"), donate_argnames=("state",))
+def layout_train_step(state, batch, rng, *, non_meta_rels: Sequence[int],
+                      bbox_weight: float = 10.0, mask_weight: float = 0.0,
+                      learned_converse: bool = False):
+    """Returns (new_state, metrics dict, converse weight matrix for the host
+    data pipeline)."""
+    state, metrics = _train_body(state, batch, rng, non_meta_rels,
+                                 bbox_weight, mask_weight, learned_converse)
     conv_w = symmetrize_converse(state.params["converse_candidates_weights"])
     return state, metrics, conv_w
 
@@ -102,40 +112,8 @@ def layout_train_multi_step(state, batches, rngs, *, non_meta_rels: Sequence[int
 
     def body(state, xs):
         batch, rng = xs
-
-        def loss_fn(params):
-            _, boxes_pred, masks_pred, new_stats = _forward(
-                state, params, batch, rng, train=True)
-            per_sample, bbox_mean = bbox_losses(
-                boxes_pred, batch.boxes, batch.objs, weight=bbox_weight)
-            total = bbox_mean
-            aux = {"bbox_pred": bbox_mean}
-            if masks_pred is not None and batch.masks is not None and mask_weight > 0:
-                m = mask_pred_loss(masks_pred, batch.masks, batch.objs,
-                                   mask_weight)
-                total = total + m
-                aux["masks_pred"] = m
-            if learned_converse:
-                r = jax.lax.stop_gradient(per_sample)
-                B = r.shape[0]
-                if B > 1:
-                    std = jnp.sqrt(jnp.sum((r - r.mean()) ** 2) / (B - 1))
-                    r = (r - r.mean()) / (std + jnp.finfo(jnp.float32).eps)
-                conv_w = symmetrize_converse(
-                    params["converse_candidates_weights"])
-                log_p = converse_log_likelihood(conv_w, non_meta_rels,
-                                                batch.conv_counts)
-                aux["loss_conv"] = jnp.mean(r * log_p)
-                total = total + aux["loss_conv"]
-            aux["total_loss"] = total
-            return total, (aux, new_stats)
-
-        (_, (metrics, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        state = state.apply_gradients(grads=grads)
-        if new_stats:
-            state = state.replace(batch_stats=new_stats)
-        return state, metrics
+        return _train_body(state, batch, rng, non_meta_rels, bbox_weight,
+                           mask_weight, learned_converse)
 
     state, metrics_seq = jax.lax.scan(body, state, (batches, rngs))
     metrics = jax.tree.map(lambda m: m[-1], metrics_seq)

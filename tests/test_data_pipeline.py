@@ -155,3 +155,26 @@ def test_process_worker_loader():
             assert np.array_equal(ba.triplets, bb.triplets)
     finally:
         b.close()
+
+
+def test_prefetch_worker_exits_on_abandoned_iteration():
+    """Breaking out of a prefetching loader must release the producer
+    thread (it used to block forever on q.put, pinning prefetched batches
+    for the life of the process — one leak per abandoned val loop)."""
+    import gc
+    import threading
+    import time
+
+    ds = SyntheticClevrDataset(num_samples=16, seed=3)
+    # num_workers=1: no fetch pool, so any surviving thread IS the producer
+    loader = BucketedLoader(ds, 2, prefetch=2, num_workers=1)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)  # worker started, queue filling
+    it.close()  # consumer abandons -> generator finally -> stop event
+    del it
+    gc.collect()
+    deadline = time.monotonic() + 5.0
+    while threading.active_count() > before and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch worker leaked"

@@ -182,3 +182,31 @@ def test_remat_loss_matches_unremat(mode):
     for a, b in zip(jax.tree.leaves(s_on.d_img.params),
                     jax.tree.leaves(s_off.d_img.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_masked_gan_g_excludes_dummy_slots():
+    """Generator object-D loss must ignore padding-slot scores for EVERY
+    gan mode (reference drops dummies via remove_dummy_objects,
+    sg2im/utils.py:56-63; only the hinge branch used to mask)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from canonicalsg2im_tpu.train.gan import _masked_gan_g
+
+    scores = jnp.asarray([[0.7, -0.3, 5.0, 5.0],
+                          [1.2, 0.1, 5.0, 5.0]], jnp.float32)
+    mask = jnp.asarray([[1, 1, 0, 0], [1, 1, 0, 0]], jnp.float32)
+    real = np.asarray([[0.7, -0.3], [1.2, 0.1]], np.float32)
+
+    for mode, expect in [
+        ("hinge", -real.mean()),
+        ("w", -real.mean()),
+        ("ls", ((real - 1.0) ** 2).mean()),
+        ("original", (np.clip(real, 0, None) - real
+                      + np.log1p(np.exp(-np.abs(real)))).mean()),
+    ]:
+        got = float(_masked_gan_g(scores, mask, mode))
+        assert abs(got - float(expect)) < 1e-6, (mode, got, expect)
+        # dummy slots with huge scores must not move the loss
+        scores2 = scores.at[:, 2:].set(-100.0)
+        assert abs(float(_masked_gan_g(scores2, mask, mode)) - got) < 1e-6
