@@ -152,6 +152,17 @@ class Config:
     bucket_objects: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512, 1024)
     bucket_triplets: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
     donate_state: bool = True
+    # K fused train steps per device dispatch: the trainer stacks K batches
+    # and runs them through ONE lax.scan program (train/gan.py
+    # gan_train_multi_step / train/step.py layout_train_multi_step),
+    # amortizing the host->device round-trip that dominates small steps
+    # (e.g. the tunnel'd chip here: the 256^2 GAN CLI loop runs ~6 imgs/s
+    # at K=1 vs ~57 imgs/s device throughput). Bit-equivalent to K
+    # sequential steps; the learned-converse host feedback updates every K
+    # steps instead of every step (measured benign for K<=10,
+    # tests/test_converse_delay.py). print/checkpoint/full_test boundaries
+    # are honored exactly — each block is clipped to the next boundary.
+    steps_per_dispatch: int = 1
     use_pallas_splat: bool = False
     # Pallas inference fusions (eval/test-mode forwards only; training keeps
     # the XLA paths, where the kernels' dense backward loses). BOTH default

@@ -55,11 +55,58 @@ def evaluate_layout(cfg, state, loader, rng, max_samples=None):
     }
 
 
+def _block_size(t: int, cfg: Config, K: int) -> int:
+    """Steps in the next dispatch block: K clipped to num_iterations and to
+    the next print/checkpoint/full_test boundary, so every `t % every == 0`
+    event fires exactly as in the single-step loop."""
+    n = min(K, cfg.num_iterations - t)
+    for every in (cfg.print_every, cfg.checkpoint_every, cfg.full_test):
+        if every and every > 0:
+            n = min(n, every - (t % every))
+    return max(n, 1)
+
+
+def _stack_batches(batches):
+    """K Batch pytrees -> one pytree with a leading K axis (scan input)."""
+    if len(batches) == 1:
+        return batches[0]
+    return jax.tree.map(lambda *xs: np.stack(xs), *batches)
+
+
+def _batch_sig(b):
+    return tuple(None if x is None else x.shape for x in b)
+
+
+def _fetch_block(it, k: int, held: list):
+    """Up to k SAME-SHAPE batches from the epoch iterator.
+
+    Batches land in different bucket-ladder shapes, and a lax.scan block must
+    be shape-homogeneous — a batch that breaks the run is parked in ``held``
+    (a 1-slot pushback) and leads the next block. Short blocks at epoch end /
+    shape changes are fine: the loop falls back to smaller scan programs or
+    the single-step path."""
+    out = []
+    if held[0] is not None:
+        out.append(held[0])
+        held[0] = None
+    try:
+        while len(out) < k:
+            b = next(it)
+            if out and _batch_sig(b) != _batch_sig(out[0]):
+                held[0] = b
+                break
+            out.append(b)
+    except StopIteration:
+        pass
+    return out
+
+
 def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
     """Adversarial training loop (reference train.py:346-438, GAN configs)."""
     from canonicalsg2im_tpu.models.vgg import load_vgg_params
     from canonicalsg2im_tpu.train.gan import (
-        create_gan_states, gan_eval_step, gan_train_step, step_cfg_from_config)
+        create_gan_states, gan_eval_step, gan_train_multi_step,
+        gan_train_step, step_cfg_from_config)
 
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)
@@ -114,23 +161,36 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
         return out, img, vb
 
     t_start, t0_steps = time.time(), t
+    K = max(1, cfg.steps_per_dispatch)
     while t < cfg.num_iterations:
         epoch += 1
-        for batch in train_loader:
-            if t >= cfg.num_iterations:
-                break
-            t += 1
-            maybe_profile(cfg, t)
-            rng, step_rng = jax.random.split(rng)
+        batch_iter = iter(train_loader)
+        held = [None]
+        while t < cfg.num_iterations:
+            block = _fetch_block(batch_iter, _block_size(t, cfg, K), held)
+            if not block:
+                break  # epoch exhausted
+            k = len(block)
+            maybe_profile(cfg, t + k)
+            rng, sub = jax.random.split(rng)
+            step_rngs = jax.random.split(sub, k)
             try:
-                batch = shard_batch(batch, mesh)
-                states, metrics, conv_w = gan_train_step(
-                    states, batch, step_rng, vgg_params, sc=sc)
+                if k == 1:
+                    states, metrics, conv_w = gan_train_step(
+                        states, shard_batch(block[0], mesh), step_rngs[0],
+                        vgg_params, sc=sc)
+                else:
+                    stacked = shard_batch(_stack_batches(block), mesh,
+                                          stacked=True)
+                    states, metrics, conv_w = gan_train_multi_step(
+                        states, stacked, step_rngs, vgg_params, sc=sc)
             except Exception as e:  # keep training through bad batches,
                 if not cfg.continue_on_error:  # as the reference does
                     raise  # (scripts/train.py:440-441)
                 logging.getLogger(__name__).exception(e)
+                t += k
                 continue
+            t += k
             if cfg.learned_converse and conv_w is not None:
                 w = np.asarray(jax.device_get(conv_w))
                 train_loader.set_converse_weights(w)
@@ -193,13 +253,20 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
 def maybe_profile(cfg, t, start_at: int = 10, steps: int = 3):
     """--timing: capture a jax.profiler trace of a few steady-state steps
     (the reference declares --timing but never uses it, scripts/args.py:74;
-    here it produces a real TensorBoard-loadable device trace)."""
+    here it produces a real TensorBoard-loadable device trace).
+
+    Threshold-based (not exact-match) so it also works when the loop
+    advances t by steps_per_dispatch-sized blocks."""
     if not cfg.timing:
         return
-    if t == start_at:
+    state = maybe_profile.__dict__
+    if not state.get("started") and t >= start_at:
         jax.profiler.start_trace(os.path.join(cfg.output_dir, "profile"))
-    elif t == start_at + steps:
+        state["started"] = True
+    elif (state.get("started") and not state.get("stopped")
+          and t >= start_at + steps):
         jax.profiler.stop_trace()
+        state["stopped"] = True
         print("profiler trace ->", os.path.join(cfg.output_dir, "profile"))
 
 
@@ -262,23 +329,36 @@ def main(cfg: Config):
 
     non_meta = tuple(non_meta_relation_ids(cfg.vocab))
     t_start, t0_steps = time.time(), t
+    K = max(1, cfg.steps_per_dispatch)
+    step_kw = dict(non_meta_rels=non_meta,
+                   bbox_weight=cfg.bbox_pred_loss_weight,
+                   mask_weight=cfg.mask_pred_loss_weight,
+                   learned_converse=cfg.learned_converse)
 
     while t < cfg.num_iterations:
         epoch += 1
-        for batch in train_loader:
-            if t >= cfg.num_iterations:
-                break
-            t += 1
-            maybe_profile(cfg, t)
-            rng, step_rng = jax.random.split(rng)
-            batch = shard_batch(batch, mesh)
-            state, metrics, conv_w = layout_train_step(
-                state, batch, step_rng,
-                non_meta_rels=non_meta,
-                bbox_weight=cfg.bbox_pred_loss_weight,
-                mask_weight=cfg.mask_pred_loss_weight,
-                learned_converse=cfg.learned_converse,
-            )
+        batch_iter = iter(train_loader)
+        held = [None]
+        while t < cfg.num_iterations:
+            block = _fetch_block(batch_iter, _block_size(t, cfg, K), held)
+            if not block:
+                break  # epoch exhausted
+            k = len(block)
+            maybe_profile(cfg, t + k)
+            rng, sub = jax.random.split(rng)
+            step_rngs = jax.random.split(sub, k)
+            if k == 1:
+                state, metrics, conv_w = layout_train_step(
+                    state, shard_batch(block[0], mesh), step_rngs[0],
+                    **step_kw)
+            else:
+                from canonicalsg2im_tpu.train import layout_train_multi_step
+
+                stacked = shard_batch(_stack_batches(block), mesh,
+                                      stacked=True)
+                state, metrics, conv_w = layout_train_multi_step(
+                    state, stacked, step_rngs, **step_kw)
+            t += k
             if cfg.learned_converse:
                 # device -> host -> data pipeline feedback (train.py:383-385)
                 w = np.asarray(jax.device_get(conv_w))
