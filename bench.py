@@ -134,11 +134,12 @@ def main():
         bench_layout()
         return
     size = int(os.environ.get("BENCH_IMAGE_SIZE", 256))
-    # per-chip throughput peaks at batch 8 on the 15.75G v5e (45.4 imgs/s vs
-    # 35.9 at batch 16: the 256^2 fused step is HBM-pressure-bound, and the
-    # smaller live set schedules better); data parallelism over more chips is
-    # the intended way to scale the global batch (parallel/mesh.py)
-    batch = int(os.environ.get("BENCH_BATCH", 8))
+    # batch 16 (the reference README's training scale) is the per-chip peak
+    # on the 15.75G v5e now that the bench feeds from device-resident
+    # batches: 63.4/59.2/63.6 imgs/s vs batch 8's 59.7/60.4 (the earlier
+    # "batch 8 wins" ranking was a host-feeding artifact); batch 32 spills
+    # (34.6). Scale the global batch via data parallelism (parallel/mesh.py).
+    batch = int(os.environ.get("BENCH_BATCH", 16))
     steps = int(os.environ.get("BENCH_STEPS", 10))
     warmup = int(os.environ.get("BENCH_WARMUP", 2))
 
