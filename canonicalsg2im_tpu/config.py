@@ -34,7 +34,10 @@ class Config:
     num_train_samples: Optional[int] = None
     num_val_samples: Optional[int] = 1024
     shuffle_val: bool = True
-    loader_num_workers: int = 1
+    # host-side sample-fetch workers per loader (BucketedLoader threads; the
+    # reference's DataLoader default is 1 background *process*). Canonicalize
+    # + decode runs per sample on the host, so keep >1 to feed fast chips.
+    loader_num_workers: int = 4
     include_relationships: bool = True
     min_objects: Optional[int] = None
     max_objects: Optional[int] = None

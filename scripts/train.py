@@ -305,7 +305,8 @@ def main(cfg: Config):
     logger = MetricLogger(cfg.output_dir, every=min(cfg.print_every, 500))
 
     loader_kw = dict(bucket_objects=cfg.bucket_objects,
-                     bucket_triplets=cfg.bucket_triplets, seed=cfg.seed)
+                     bucket_triplets=cfg.bucket_triplets, seed=cfg.seed,
+                     num_workers=cfg.loader_num_workers)
     train_loader = BucketedLoader(train_ds, cfg.batch_size, shuffle=True, **loader_kw)
     val_loader = BucketedLoader(val_ds, cfg.batch_size, shuffle=cfg.shuffle_val,
                                 **loader_kw)
