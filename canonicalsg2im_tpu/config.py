@@ -153,7 +153,10 @@ class Config:
     param_dtype: str = "float32"
     seed: int = 0
     bucket_objects: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512, 1024)
-    bucket_triplets: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+    # the top rungs serve WSGC's transitive completion on huge packed scenes
+    # (quadratic in objects: ~300-500 objects -> ~6e5 triplets); shapes only
+    # compile when a batch actually lands in them
+    bucket_triplets: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072, 262144, 524288, 1048576)
     donate_state: bool = True
     # K fused train steps per device dispatch: the trainer stacks K batches
     # and runs them through ONE lax.scan program (train/gan.py

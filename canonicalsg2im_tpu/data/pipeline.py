@@ -125,7 +125,8 @@ class BucketedLoader:
                  bucket_objects: Sequence[int] = (8, 16, 32, 64, 128, 256, 512, 1024),
                  bucket_triplets: Sequence[int] = (16, 32, 64, 128, 256, 512, 1024,
                                                    2048, 4096, 8192, 16384,
-                                                   32768, 65536),
+                                                   32768, 65536, 131072,
+                                                   262144, 524288, 1048576),
                  seed: int = 0, drop_last: bool = True, prefetch: int = 2,
                  num_workers: int = 4, worker_type: str = "thread"):
         self.dataset = dataset

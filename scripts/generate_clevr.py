@@ -64,6 +64,13 @@ def evaluate_checkpoint(tag, ckpt_path, args, generator=None):
     cfg.batch_size = args.batch_size
     if generator is not None:
         cfg.image_size = list(generator[2])
+    # The bucket ladder in run_args.json is a training-time padding detail;
+    # probing graphs larger than the training scale must not be capped by it.
+    # Merge in the current defaults (whose top rungs cover WSGC's quadratic
+    # transitive completion on huge scenes).
+    dflt = Config()
+    cfg.bucket_objects = tuple(sorted(set(cfg.bucket_objects) | set(dflt.bucket_objects)))
+    cfg.bucket_triplets = tuple(sorted(set(cfg.bucket_triplets) | set(dflt.bucket_triplets)))
 
     ds = get_dataset(cfg.dataset, "train", cfg)
     cfg.vocab = ds.vocab
