@@ -178,3 +178,20 @@ def test_prefetch_worker_exits_on_abandoned_iteration():
     while threading.active_count() > before and time.monotonic() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before, "prefetch worker leaked"
+
+
+def test_merge_default_ladders_uncaps_checkpoint_config():
+    # run_args.json pins the training-time ladder; inference-time probes of
+    # bigger graphs must get the current default top rungs back
+    from scripts.generate_clevr import merge_default_ladders
+    from canonicalsg2im_tpu.data.pipeline import bucket_for
+    cfg = Config()
+    cfg.bucket_triplets = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+                           8192, 16384, 32768, 65536)  # old training ladder
+    cfg.bucket_objects = (8, 16, 24)  # custom rung must survive the merge
+    merge_default_ladders(cfg)
+    dflt = Config()
+    assert cfg.bucket_triplets[-1] == dflt.bucket_triplets[-1]
+    assert bucket_for(600_000, cfg.bucket_triplets) == 1048576
+    assert 24 in cfg.bucket_objects  # custom rungs kept
+    assert list(cfg.bucket_triplets) == sorted(cfg.bucket_triplets)
