@@ -31,9 +31,51 @@ from canonicalsg2im_tpu.models.spade import build_seg_layout, _leaky
 from canonicalsg2im_tpu.ops.bilinear import crop_bbox_batch
 
 
+class _SplitFirstConv(nn.Module):
+    """First PatchGAN conv applied per input part and summed.
+
+    Convolution is linear in input channels, so
+    ``conv(concat(parts)) == sum_i conv(part_i, kernel[:, :, slice_i])``
+    exactly — splitting avoids ever materializing the concatenated
+    ``[img(3), seg(semantic_nc)]`` tensor whose odd channel count (131 at
+    the defaults) forces XLA layout-convert copies and a lane-misaligned
+    input-gradient conv on TPU (measured ~8% of the GAN step as "data
+    formatting", scripts/profile_gan_step.py). The param tree
+    ({kernel, bias}, named and shaped like ``nn.Conv``) is unchanged, so
+    existing checkpoints and the reference importer are unaffected."""
+
+    features: int
+    stride: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts):
+        in_ch = sum(p.shape[-1] for p in parts)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (4, 4, in_ch, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        y = None
+        off = 0
+        for p in parts:
+            c = p.shape[-1]
+            k = kernel[:, :, off:off + c, :].astype(self.dtype)
+            r = jax.lax.conv_general_dilated(
+                p.astype(self.dtype), k, (self.stride, self.stride),
+                ((2, 2), (2, 2)),  # torch padw = ceil(3/2) = 2
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = r if y is None else y + r
+            off += c
+        return y + bias.astype(self.dtype)
+
+
 class NLayerDiscriminator(nn.Module):
     """PatchGAN (discriminator.py:164-206): k4 convs, stride 2 except the
-    last body layer, channel doubling capped at 512, per-layer outputs."""
+    last body layer, channel doubling capped at 512, per-layer outputs.
+
+    ``x`` may be a single (B, H, W, C) tensor or a tuple of tensors whose
+    channels would be concatenated — the tuple form feeds the first conv
+    per-part (exactly equivalent, see ``_SplitFirstConv``)."""
 
     ndf: int = 64
     n_layers: int = 4
@@ -68,7 +110,11 @@ class NLayerDiscriminator(nn.Module):
 
         results = []
         nf = self.ndf
-        x = _leaky(conv(x, nf, 2, "conv0", use_bias=True, sn=False))
+        if isinstance(x, (tuple, list)):
+            x = _leaky(_SplitFirstConv(nf, 2, dtype=self.dtype,
+                                       name="conv0")(tuple(x)))
+        else:
+            x = _leaky(conv(x, nf, 2, "conv0", use_bias=True, sn=False))
         results.append(x)
         for n in range(1, self.n_layers):
             nf = min(nf * 2, 512)
@@ -123,13 +169,16 @@ class MultiscaleDiscriminator(nn.Module):
                  seg=None, train: bool = True) -> List[List[jnp.ndarray]]:
         if seg is None:
             seg = self.seg_layout(objs, layout_boxes, layout_masks)
-        x = jnp.concatenate([img.astype(self.dtype), seg.astype(self.dtype)],
-                            axis=-1)
+        # img and seg ride as separate parts: pooling is per-channel, so
+        # pooling the parts equals pooling the concat, and the first conv of
+        # each scale consumes them per-part (_SplitFirstConv) — the odd
+        # 3+semantic_nc concat never materializes
+        x = (img.astype(self.dtype), seg.astype(self.dtype))
         results = []
         for i in range(self.num_D):
             results.append(self.discriminators[i](x, train=train))
             if i + 1 < self.num_D:
-                x = avg_pool_3x3_s2(x)
+                x = tuple(avg_pool_3x3_s2(p) for p in x)
         return results
 
 

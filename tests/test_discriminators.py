@@ -89,3 +89,22 @@ def test_vector_pool():
     v1 = pool.query([1, 1], np.array([[1.0], [2.0]]))
     assert v1.shape == (2, 1)
     assert VectorPool(0).query([1], np.array([[5.0]]))[0, 0] == 5.0
+
+
+def test_split_first_conv_matches_concat():
+    """The tuple input form (per-part first conv, no odd-channel concat on
+    device) is exactly the concat form: conv is linear in input channels and
+    the param tree ({kernel,bias} under conv0) is shared between the paths."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    img = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    seg = rng.standard_normal((2, 64, 64, 13)).astype(np.float32)
+    d = NLayerDiscriminator(ndf=8, n_layers=3, norm_D="instance")
+    v = d.init(jax.random.PRNGKey(0), (img, seg), train=False)
+    split = d.apply(v, (img, seg), train=False)
+    concat = d.apply(v, jnp.concatenate([img, seg], axis=-1), train=False)
+    assert len(split) == len(concat)
+    for s, c in zip(split, concat):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(c),
+                                   rtol=2e-5, atol=2e-5)

@@ -176,12 +176,18 @@ def test_remat_loss_matches_unremat(mode):
                 "D_img_real", "D_obj"):
         np.testing.assert_allclose(float(m_on[key]), float(m_off[key]),
                                    rtol=1e-5, err_msg=key)
+    # Param tolerance is the one-Adam-step bound (~lr=4e-4): remat changes
+    # fusion/reassociation in the backward (e.g. the split first D conv's
+    # two-term sum), and Adam's sqrt(v)-normalized update can amplify a
+    # float-epsilon gradient difference on a near-zero element up to ~lr.
+    # Gross remat bugs still fail: they shift the metrics (checked tight
+    # above) and every parameter, not one element by epsilon.
     for a, b in zip(jax.tree.leaves(s_on.g.params),
                     jax.tree.leaves(s_off.g.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
     for a, b in zip(jax.tree.leaves(s_on.d_img.params),
                     jax.tree.leaves(s_off.d_img.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
 def test_masked_gan_g_excludes_dummy_slots():
