@@ -68,6 +68,8 @@ def resize_nearest(x, size):
     """
     B, H, W, C = x.shape
     h2, w2 = size
+    if (H, W) == (h2, w2):
+        return x  # identity — avoid an index-gather XLA may not simplify
     hi = (jnp.arange(h2) * H // h2).astype(jnp.int32)
     wi = (jnp.arange(w2) * W // w2).astype(jnp.int32)
     return x[:, hi][:, :, wi]

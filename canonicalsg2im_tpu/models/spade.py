@@ -267,6 +267,31 @@ class SPADEGenerator(nn.Module):
                                use_pallas=use_pallas,
                                dtype=self.dtype)
 
+        # Pre-resize the seg once per pyramid resolution: the three SPADE
+        # norms inside each resblock consume the same-size seg, so handing a
+        # block its own-resolution seg replaces 3 full-res index-gathers per
+        # block (each with a 256^2-seg scatter-add transpose in the backward;
+        # measured ~6% of the GAN step, scripts/profile_gan_step.py) with one
+        # shared slice per resolution. Exact: floor-convention nearest resize
+        # (models/layers.resize_nearest) picks index i*2 at a x2 ratio, so a
+        # chain of [:, ::2, ::2] halvings selects identical pixels to the
+        # reference's direct F.interpolate(seg, (h, w), mode='nearest').
+        seg_cache = {tuple(seg.shape[1:3]): seg}
+
+        def seg_for(h, w):
+            key = (h, w)
+            if key in seg_cache:
+                return seg_cache[key]
+            src_key = (2 * h, 2 * w)
+            if (src_key[0] <= seg.shape[1] and src_key[1] <= seg.shape[2]
+                    and seg.shape[1] % src_key[0] == 0
+                    and seg.shape[2] % src_key[1] == 0):
+                out = seg_for(*src_key)[:, ::2, ::2]
+            else:
+                out = resize_nearest(seg, key)
+            seg_cache[key] = out
+            return out
+
         if self.use_vae:
             if z is None:
                 z = jax.random.normal(self.make_rng("noise"),
@@ -276,7 +301,7 @@ class SPADEGenerator(nn.Module):
         else:
             # the pyramid carries the compute dtype; every norm re-derives
             # float32 statistics internally (ParamFreeNorm)
-            x = resize_nearest(seg, (sh, sw))
+            x = seg_for(sh, sw)
             x = nn.Conv(16 * nf, (3, 3), padding="SAME", dtype=self.dtype,
                         name="fc")(x)
 
@@ -289,23 +314,27 @@ class SPADEGenerator(nn.Module):
             fi, fo, self.norm_G, dtype=self.dtype,
             remat_spade_mlp=self.remat_spade_mlp,
             fused_spade_eval=self.fused_spade_eval and not train, name=name)
-        x = blk(16 * nf, 16 * nf, "head_0")(x, seg, train)
+        def run(b, x):
+            # the block's norms all operate at x's resolution
+            return b(x, seg_for(x.shape[1], x.shape[2]), train)
+
+        x = run(blk(16 * nf, 16 * nf, "head_0"), x)
         x = upsample_nearest(x)
-        x = blk(16 * nf, 16 * nf, "G_middle_0")(x, seg, train)
+        x = run(blk(16 * nf, 16 * nf, "G_middle_0"), x)
         if self.num_upsampling_layers in ("more", "most"):
             x = upsample_nearest(x)
-        x = blk(16 * nf, 16 * nf, "G_middle_1")(x, seg, train)
+        x = run(blk(16 * nf, 16 * nf, "G_middle_1"), x)
         x = upsample_nearest(x)
-        x = blk(16 * nf, 8 * nf, "up_0")(x, seg, train)
+        x = run(blk(16 * nf, 8 * nf, "up_0"), x)
         x = upsample_nearest(x)
-        x = blk(8 * nf, 4 * nf, "up_1")(x, seg, train)
+        x = run(blk(8 * nf, 4 * nf, "up_1"), x)
         x = upsample_nearest(x)
-        x = blk(4 * nf, 2 * nf, "up_2")(x, seg, train)
+        x = run(blk(4 * nf, 2 * nf, "up_2"), x)
         x = upsample_nearest(x)
-        x = blk(2 * nf, 1 * nf, "up_3")(x, seg, train)
+        x = run(blk(2 * nf, 1 * nf, "up_3"), x)
         if self.num_upsampling_layers == "most":
             x = upsample_nearest(x)
-            x = blk(nf, nf // 2, "up_4")(x, seg, train)
+            x = run(blk(nf, nf // 2, "up_4"), x)
 
         x = nn.Conv(3, (3, 3), padding="SAME", name="conv_img")(_leaky(x))
         return jnp.tanh(x)

@@ -70,3 +70,22 @@ def test_spade_applies_conditional_affine():
     y2, _ = model.apply(variables, x, seg * 2.0, train=True,
                         mutable=["batch_stats"])
     assert not np.allclose(np.asarray(y), np.asarray(y2))
+
+
+def test_resize_nearest_halving_chain_matches_direct():
+    """The generator's seg pyramid halves by [:, ::2, ::2] slices; for
+    power-of-two ratios the chain must select exactly the pixels of the
+    direct floor-convention nearest resize (torch F.interpolate)."""
+    import numpy as np
+
+    from canonicalsg2im_tpu.models.layers import resize_nearest
+
+    rng = np.random.default_rng(0)
+    seg = rng.standard_normal((2, 64, 64, 5)).astype(np.float32)
+    x = seg
+    for size in (32, 16, 8):
+        x = x[:, ::2, ::2]
+        direct = np.asarray(resize_nearest(seg, (size, size)))
+        np.testing.assert_array_equal(np.asarray(x), direct)
+    # identity short-circuit
+    assert resize_nearest(seg, (64, 64)) is seg
