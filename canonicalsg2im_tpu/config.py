@@ -213,6 +213,21 @@ class Config:
             self.semantic_nc = len(self.vocab["attributes"]) * self.embedding_dim
         return self
 
+    def merge_default_ladders(self) -> "Config":
+        """Widen the bucket ladders with the current class defaults, in place.
+
+        The ladder stored in a checkpoint's run_args.json is a training-time
+        padding detail; inference on graphs larger than the training scale
+        (e.g. 300-500-object probe scenes whose transitive completion packs
+        ~6e5 triplets) must not be capped by it. Custom training rungs are
+        kept. Every inference CLI calls this after Config.load."""
+        dflt = Config()
+        self.bucket_objects = tuple(
+            sorted(set(self.bucket_objects) | set(dflt.bucket_objects)))
+        self.bucket_triplets = tuple(
+            sorted(set(self.bucket_triplets) | set(dflt.bucket_triplets)))
+        return self
+
     @property
     def num_predicates(self) -> int:
         return len(self.vocab["pred_idx_to_name"])

@@ -31,6 +31,13 @@ from canonicalsg2im_tpu.models.spade import build_seg_layout, _leaky
 from canonicalsg2im_tpu.ops.bilinear import crop_bbox_batch
 
 
+# PatchGAN conv geometry (discriminator.py:168-170): k4 with torch
+# padw = ceil(3/2) = 2 — shared by the concat and per-part first-conv paths
+# so the two 'conv0' implementations can never diverge
+_PATCHGAN_K = (4, 4)
+_PATCHGAN_PAD = ((2, 2), (2, 2))
+
+
 class _SplitFirstConv(nn.Module):
     """First PatchGAN conv applied per input part and summed.
 
@@ -52,7 +59,7 @@ class _SplitFirstConv(nn.Module):
     def __call__(self, parts):
         in_ch = sum(p.shape[-1] for p in parts)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (4, 4, in_ch, self.features))
+                            _PATCHGAN_K + (in_ch, self.features))
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,))
         y = None
@@ -62,7 +69,7 @@ class _SplitFirstConv(nn.Module):
             k = kernel[:, :, off:off + c, :].astype(self.dtype)
             r = jax.lax.conv_general_dilated(
                 p.astype(self.dtype), k, (self.stride, self.stride),
-                ((2, 2), (2, 2)),  # torch padw = ceil(3/2) = 2
+                _PATCHGAN_PAD,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             y = r if y is None else y + r
             off += c
@@ -86,15 +93,14 @@ class NLayerDiscriminator(nn.Module):
     def __call__(self, x, train: bool = True) -> List[jnp.ndarray]:
         use_sn = self.norm_D.startswith("spectral")
         kind = self.norm_D[len("spectral"):] if use_sn else self.norm_D
-        pad = ((2, 2), (2, 2))  # torch padw = ceil(3/2) = 2
 
         def conv(y, feats, stride, name, use_bias, sn):
             # the reference wraps ONLY the middle convs in the norm-layer
             # factory (discriminator.py:175-185): the first conv and the
             # final 1-channel head are bare Conv2d, no spectral norm
-            layer = nn.Conv(feats, (4, 4), strides=(stride, stride),
-                            padding=pad, use_bias=use_bias, dtype=self.dtype,
-                            name=name)
+            layer = nn.Conv(feats, _PATCHGAN_K, strides=(stride, stride),
+                            padding=_PATCHGAN_PAD, use_bias=use_bias,
+                            dtype=self.dtype, name=name)
             return (nn.SpectralNorm(layer)(y, update_stats=train)
                     if (use_sn and sn) else layer(y))
 

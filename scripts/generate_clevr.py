@@ -32,19 +32,6 @@ from canonicalsg2im_tpu.train import create_layout_state, layout_eval_step
 from canonicalsg2im_tpu.utils import restore_checkpoint
 
 
-def merge_default_ladders(cfg: Config) -> None:
-    """Widen cfg's bucket ladders with the current Config defaults, in place.
-
-    The ladder stored in a checkpoint's run_args.json is a training-time
-    padding detail; probing graphs larger than the training scale (e.g.
-    300-500-object scenes whose transitive completion packs ~6e5 triplets)
-    must not be capped by it. Merging keeps any custom training rungs while
-    guaranteeing the default top rungs are available."""
-    dflt = Config()
-    cfg.bucket_objects = tuple(sorted(set(cfg.bucket_objects) | set(dflt.bucket_objects)))
-    cfg.bucket_triplets = tuple(sorted(set(cfg.bucket_triplets) | set(dflt.bucket_triplets)))
-
-
 def load_generator(gen_ckpt_path):
     """AttSPADE GAN checkpoint -> (states, step_cfg, image_size). Used to
     render images from each arm's predicted layouts and run the on-device
@@ -77,7 +64,7 @@ def evaluate_checkpoint(tag, ckpt_path, args, generator=None):
     cfg.batch_size = args.batch_size
     if generator is not None:
         cfg.image_size = list(generator[2])
-    merge_default_ladders(cfg)
+    cfg.merge_default_ladders()
 
     ds = get_dataset(cfg.dataset, "train", cfg)
     cfg.vocab = ds.vocab

@@ -36,6 +36,7 @@ from canonicalsg2im_tpu.utils import restore_checkpoint
 def main(args):
     run_args = os.path.join(os.path.dirname(args.checkpoint), "run_args.json")
     cfg = Config.load(run_args) if os.path.exists(run_args) else Config()
+    cfg.merge_default_ladders()
     if args.dataset:
         cfg.dataset = args.dataset
 

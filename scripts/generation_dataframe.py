@@ -58,6 +58,7 @@ def parse_rows(csv_path, use_gt_boxes: bool, vocab):
 def main(args):
     run_args = os.path.join(os.path.dirname(args.checkpoint), "run_args.json")
     cfg = Config.load(run_args) if os.path.exists(run_args) else Config()
+    cfg.merge_default_ladders()
     cfg.skip_graph_model = False  # checkpoint shape must match training
 
     from canonicalsg2im_tpu.data import get_dataset

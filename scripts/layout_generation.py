@@ -69,6 +69,7 @@ def main(args):
         args.checkpoint = best_checkpoint(args.checkpoint)
     run_args = os.path.join(os.path.dirname(args.checkpoint), "run_args.json")
     cfg = Config.load(run_args) if os.path.exists(run_args) else Config()
+    cfg.merge_default_ladders()
     if args.dataset:
         cfg.dataset = args.dataset
     cfg.skip_generation = True

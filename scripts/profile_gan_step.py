@@ -50,7 +50,9 @@ def capture(logdir: str, batch: int, size: int, steps: int) -> None:
     states = replicate(create_gan_states(cfg, jax.random.PRNGKey(0)), mesh)
     sc = step_cfg_from_config(cfg)
     vgg = replicate(load_vgg_params(cfg.weights_dir)[0], mesh)
-    dev_batches = [shard_batch(b, mesh) for b in loader][:4]
+    import itertools
+    dev_batches = [shard_batch(b, mesh)
+                   for b in itertools.islice(iter(loader), 4)]
     rng = jax.random.PRNGKey(1)
 
     def step(s, k, i):
@@ -73,6 +75,9 @@ def report(logdir: str, top: int) -> None:
     from xprof.convert import raw_to_tool_data as conv
     planes = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                               recursive=True))
+    if not planes:
+        raise SystemExit(f"no *.xplane.pb trace found under {logdir} — "
+                         "did the capture run (PROF_REPORT_ONLY unset)?")
     data, _ = conv.xspace_to_tool_data([planes[-1]], "hlo_stats", params={})
     table = json.loads(data if isinstance(data, str) else data.decode())
     cols = [c["id"] for c in table["cols"]]

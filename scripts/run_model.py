@@ -98,6 +98,7 @@ def auto_create_graphs(num_objs, rng):
 def main(args):
     run_args = os.path.join(os.path.dirname(args.checkpoint), "run_args.json")
     cfg = Config.load(run_args) if os.path.exists(run_args) else Config()
+    cfg.merge_default_ladders()
     vocab = build_clevr_vocab()
     cfg.vocab = vocab
     cfg.finalize()

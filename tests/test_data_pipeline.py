@@ -182,14 +182,14 @@ def test_prefetch_worker_exits_on_abandoned_iteration():
 
 def test_merge_default_ladders_uncaps_checkpoint_config():
     # run_args.json pins the training-time ladder; inference-time probes of
-    # bigger graphs must get the current default top rungs back
-    from scripts.generate_clevr import merge_default_ladders
+    # bigger graphs must get the current default top rungs back (the Config
+    # method every inference CLI calls after Config.load)
     from canonicalsg2im_tpu.data.pipeline import bucket_for
     cfg = Config()
     cfg.bucket_triplets = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
                            8192, 16384, 32768, 65536)  # old training ladder
     cfg.bucket_objects = (8, 16, 24)  # custom rung must survive the merge
-    merge_default_ladders(cfg)
+    cfg.merge_default_ladders()
     dflt = Config()
     assert cfg.bucket_triplets[-1] == dflt.bucket_triplets[-1]
     assert bucket_for(600_000, cfg.bucket_triplets) == 1048576

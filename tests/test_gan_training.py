@@ -182,12 +182,19 @@ def test_remat_loss_matches_unremat(mode):
     # float-epsilon gradient difference on a near-zero element up to ~lr.
     # Gross remat bugs still fail: they shift the metrics (checked tight
     # above) and every parameter, not one element by epsilon.
-    for a, b in zip(jax.tree.leaves(s_on.g.params),
-                    jax.tree.leaves(s_off.g.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
-    for a, b in zip(jax.tree.leaves(s_on.d_img.params),
-                    jax.tree.leaves(s_off.d_img.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    def check(tree_a, tree_b):
+        n_total = n_loose = 0
+        for a, b in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)):
+            a, b = np.asarray(a), np.asarray(b)
+            np.testing.assert_allclose(a, b, atol=5e-4)
+            n_total += a.size
+            n_loose += int((np.abs(a - b) > 1e-5).sum())
+        # ... and the epsilon-amplification must stay rare: a real remat bug
+        # shifts gradients broadly, not a handful of near-zero elements
+        assert n_loose <= max(2, n_total // 1000), (n_loose, n_total)
+
+    check(s_on.g.params, s_off.g.params)
+    check(s_on.d_img.params, s_off.d_img.params)
 
 
 def test_masked_gan_g_excludes_dummy_slots():
