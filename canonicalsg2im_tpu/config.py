@@ -177,7 +177,8 @@ class Config:
     # kernel is 1.55x faster than the dense splat in isolation
     # (scripts/bench_pallas_splat.py), but inside the generator the
     # custom-call fusion barrier costs more than the kernel saves
-    # (base ~336 imgs/s vs pallas ~318-330); the fused SPADE kernel's
+    # (base 356 imgs/s vs pallas 346, re-measured post seg-pyramid;
+    # earlier 336 vs 318-330); the fused SPADE kernel's
     # (B, C/cc) grid serializes over batch items and loses ~2x at the
     # <=64px planes it covers. Both kernels are exact and remain available
     # for single-image serving and standalone splat calls.
