@@ -26,9 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from canonicalsg2im_tpu.models.embed import AttributeEmbeddings
-from canonicalsg2im_tpu.models.layers import (CNN, avg_pool_3x3_s2,
-                                              conv_via_patches,
-                                              instance_norm_f32)
+from canonicalsg2im_tpu.models.layers import CNN, avg_pool_3x3_s2
 from canonicalsg2im_tpu.models.spade import build_seg_layout, _leaky
 from canonicalsg2im_tpu.ops.bilinear import crop_bbox_batch
 
@@ -69,18 +67,10 @@ class _SplitFirstConv(nn.Module):
         for p in parts:
             c = p.shape[-1]
             k = kernel[:, :, off:off + c, :].astype(self.dtype)
-            if c * _PATCHGAN_K[0] * _PATCHGAN_K[1] <= 128:
-                # lane-starved small-channel part (the 3-channel img): run
-                # as patches+matmul so the weight grad is an MXU dot instead
-                # of a 557 GFLOP/s conv (models/layers.conv_via_patches)
-                r = conv_via_patches(p.astype(self.dtype), k,
-                                     (self.stride, self.stride),
-                                     _PATCHGAN_PAD)
-            else:
-                r = jax.lax.conv_general_dilated(
-                    p.astype(self.dtype), k, (self.stride, self.stride),
-                    _PATCHGAN_PAD,
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            r = jax.lax.conv_general_dilated(
+                p.astype(self.dtype), k, (self.stride, self.stride),
+                _PATCHGAN_PAD,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
             y = r if y is None else y + r
             off += c
         return y + bias.astype(self.dtype)
@@ -116,10 +106,9 @@ class NLayerDiscriminator(nn.Module):
 
         def norm(y):
             if kind == "instance":
-                # f32-accumulated statistics fused off the bf16 activations
-                # (torch InstanceNorm accumulates in f32; a bf16 mean over a
-                # 128² plane loses ~2 decimal digits)
-                return instance_norm_f32(y)
+                mean = y.mean(axis=(1, 2), keepdims=True)
+                var = y.var(axis=(1, 2), keepdims=True)
+                return (y - mean) * jax.lax.rsqrt(var + 1e-5)
             if kind in ("batch", "sync_batch"):
                 return nn.BatchNorm(use_running_average=not train,
                                     momentum=0.9, epsilon=1e-5)(y)

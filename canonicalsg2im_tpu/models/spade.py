@@ -25,9 +25,7 @@ from canonicalsg2im_tpu.models.embed import AttributeEmbeddings
 from canonicalsg2im_tpu.models.layers import (
     CNN,
     MLP,
-    BatchStatsNorm,
     get_activation,
-    instance_norm_f32,
     resize_nearest,
     upsample_nearest,
 )
@@ -40,21 +38,19 @@ def _leaky(x):
 
 class ParamFreeNorm(nn.Module):
     """The parameter-free half of SPADE: syncbatch/batch/instance, no affine
-    (normalization.py:75-83). Statistics are float32 accumulations off the
-    raw (possibly bf16) input; the normalized output rides the input dtype —
-    no materialized f32 activation copy (models/layers.BatchStatsNorm)."""
+    (normalization.py:75-83)."""
 
     kind: str  # 'syncbatch' | 'batch' | 'instance'
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         if self.kind in ("syncbatch", "batch"):
-            # named to keep the nn.BatchNorm-era batch_stats tree
-            return BatchStatsNorm(momentum=0.9, epsilon=1e-5,
-                                  name="BatchNorm_0")(
-                x, use_running_average=not train)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, use_bias=False, use_scale=False)(x)
         if self.kind == "instance":
-            return instance_norm_f32(x)
+            mean = x.mean(axis=(1, 2), keepdims=True)
+            var = x.var(axis=(1, 2), keepdims=True)
+            return (x - mean) * jax.lax.rsqrt(var + 1e-5)
         raise ValueError(f"{self.kind} is not a recognized param-free norm")
 
 
@@ -113,14 +109,11 @@ class SPADE(nn.Module):
                     p["mlp_beta"]["kernel"], p["mlp_beta"]["bias"],
                     st["mean"], st["var"])
 
-        # statistics always accumulate in float32; the normalized map and the
-        # affine ride the compute dtype (bf16 on TPU — the saved-for-backward
-        # activations of the resblock pyramid are the GAN step's largest HBM
-        # consumers). The norm reads x in its own dtype — an explicit f32
-        # upcast here measured as a materialized full-res f32 copy re-read by
-        # the backward (scripts/profile_gan_step.py).
-        normalized = ParamFreeNorm(norm_kind)(x, train=train).astype(
-            self.dtype)
+        # statistics always in float32; the normalized map and the affine ride
+        # the compute dtype (bf16 on TPU — the saved-for-backward activations
+        # of the resblock pyramid are the GAN step's largest HBM consumers)
+        normalized = ParamFreeNorm(norm_kind)(
+            x.astype(jnp.float32), train=train).astype(self.dtype)
 
         seg = resize_nearest(segmap, x.shape[1:3]).astype(self.dtype)
         fn = (nn.remat(SPADE._gamma_beta, static_argnums=(2,))
@@ -383,7 +376,9 @@ class ConvEncoder(nn.Module):
                             use_bias=(kind in ("none", "")), name=name)
             y = nn.SpectralNorm(layer)(y, update_stats=train) if use_sn else layer(y)
             if kind == "instance":
-                y = instance_norm_f32(y)
+                mean = y.mean(axis=(1, 2), keepdims=True)
+                var = y.var(axis=(1, 2), keepdims=True)
+                y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
             elif kind in ("batch", "sync_batch"):
                 y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5)(y)

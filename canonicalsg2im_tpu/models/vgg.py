@@ -26,8 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from canonicalsg2im_tpu.models.layers import SmallCinConv, max_pool_2x2
-
 # convs per stage for VGG19 ('E'); feature taps after the FIRST relu of each
 # stage (relu1_1 ... relu5_1), torchvision feature indices 1, 6, 11, 20, 29.
 VGG19_STAGES = ((64, 2), (128, 2), (256, 4), (512, 4), (512, 4))
@@ -45,23 +43,10 @@ class VGG19Features(nn.Module):
         conv_idx = 0
         for stage, (width, n_convs) in enumerate(VGG19_STAGES):
             if stage > 0:
-                # custom-VJP pool: same values, same first-max-wins tie rule,
-                # but the backward is a fused elementwise pass instead of
-                # XLA's slow select-and-scatter (models/layers.max_pool_2x2)
-                x = max_pool_2x2(x)
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
             for c in range(n_convs):
-                if conv_idx == 0 and 9 * x.shape[-1] <= 128:
-                    # the RGB first conv runs as patches+matmul: its input
-                    # gradient (the perceptual-loss gradient w.r.t. the
-                    # generated image) is otherwise a lane-starved 3-channel
-                    # conv measured at ~5 ms/step (profile_gan_step.py).
-                    # Same {kernel, bias} param tree as nn.Conv.
-                    x = SmallCinConv(width, (3, 3), (1, 1),
-                                     ((1, 1), (1, 1)), dtype=self.dtype,
-                                     name=f"conv{conv_idx}")(x)
-                else:
-                    x = nn.Conv(width, (3, 3), padding="SAME",
-                                dtype=self.dtype, name=f"conv{conv_idx}")(x)
+                x = nn.Conv(width, (3, 3), padding="SAME", dtype=self.dtype,
+                            name=f"conv{conv_idx}")(x)
                 x = nn.relu(x)
                 if c == 0:
                     taps.append(x)

@@ -110,21 +110,8 @@ def boxes_to_layout(vecs, boxes, H: int, W: int | None = None, *,
                                preferred_element_type=jnp.float32)
         return acc, None
 
-    init = jnp.zeros((B, H, W, D), dtype=jnp.float32)
-    if n_chunks <= 4:
-        # unrolled: at typical object counts the scan has ONE iteration, and
-        # the while-loop wrapper blocks fusion and adds dynamic-slice /
-        # transpose machinery to the seg forward and backward (measured
-        # ~2.6 ms/step across the GAN step's seg instances,
-        # scripts/profile_gan_step.py); the scan stays for huge-O probes
-        # where unrolling would bloat the program
-        out = init
-        for i in range(n_chunks):
-            s = slice(i * chunk, (i + 1) * chunk)
-            out, _ = body(out, (vecs[:, s], cov_y[:, s], cov_x[:, s]))
-        return out.astype(out_dtype)
-
     split = lambda a: a.reshape(B, n_chunks, chunk, *a.shape[2:]).swapaxes(0, 1)
+    init = jnp.zeros((B, H, W, D), dtype=jnp.float32)
     out, _ = jax.lax.scan(body, init, (split(vecs), split(cov_y), split(cov_x)))
     return out.astype(out_dtype)
 
