@@ -43,6 +43,10 @@ class Config:
     max_objects: Optional[int] = None
     max_objects_val: Optional[int] = None
     min_object_size: float = 0.02
+    # packed_clevr_syn: fraction of scenes with one small box nested strictly
+    # inside a large one, giving the __inside__/__surrounding__ converse rows
+    # REINFORCE signal (pure random placement almost never nests)
+    syn_nested_fraction: float = 0.25
     # COCO val2017 -> val/test split: 'reference' uses the reference's
     # hard-coded val-id list (packed_coco.py:12-90); 'hash' is id-parity
     coco_val_split: str = "reference"

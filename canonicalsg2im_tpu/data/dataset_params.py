@@ -29,6 +29,7 @@ def get_dataset(name: str, partition: str, cfg: Config):
             max_objects=cfg.max_objects or 10,
             seed=cfg.seed,
             mode=partition,
+            nested_fraction=cfg.syn_nested_fraction,
             # the SG->Layout-only stage never reads images; skip the host-side
             # synthetic render (it dominates step time at 256^2)
             render_images=not cfg.skip_generation,

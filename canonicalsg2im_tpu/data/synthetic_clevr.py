@@ -39,7 +39,7 @@ class SyntheticClevrDataset:
                  max_objects: int = 10, image_size=(64, 64), mask_size: int = 0,
                  include_dummies: bool = False, learned_converse: bool = False,
                  learned_transitivity: bool = False, learned_symmetry: bool = False,
-                 render_images: bool = True,
+                 render_images: bool = True, nested_fraction: float = 0.25,
                  seed: int = 0, mode: str = "train"):
         self.vocab = build_clevr_vocab()
         self.num_samples = num_samples
@@ -52,6 +52,7 @@ class SyntheticClevrDataset:
         self.learned_transitivity = learned_transitivity
         self.learned_symmetry = learned_symmetry
         self.render_images = render_images
+        self.nested_fraction = nested_fraction
         self.seed = seed + (0 if mode == "train" else 1_000_003)
         P = len(self.vocab["pred_name_to_idx"])
         self.converse_candidates_weights: np.ndarray = np.zeros((P, P))
@@ -73,6 +74,27 @@ class SyntheticClevrDataset:
         boxes = np.concatenate(
             [xy, obj_size[:, None], obj_size[:, None]], axis=1
         ).astype(np.float32)
+        if n >= 2 and rng.uniform() < self.nested_fraction:
+            # Nest one small object strictly inside a large one so the
+            # __inside__/__surrounding__ relations occur (their REINFORCE
+            # converse rows are unlearnable without signal). The containment
+            # test uses the reference's x0/center convention
+            # (base_dataset.py:46-49): child x0 > parent x0 AND child
+            # x-"center" (x0 + w/2) < parent x-"center" — i.e. child x0 in
+            # (parent x0, parent x0 + (wp - wc)/2).
+            child, parent = rng.choice(n, size=2, replace=False)
+            small = self.vocab["attributes"]["size"]["small"]
+            large = [v for k, v in self.vocab["attributes"]["size"].items()
+                     if k not in ("small", "__image__") and v != 0][0]
+            attrs[child, size_col], attrs[parent, size_col] = small, large
+            wc, wp = 0.1, 0.2
+            obj_size[child], obj_size[parent] = wc, wp
+            boxes[parent, 2:] = wp
+            boxes[parent, :2] = rng.uniform(0.0, 1.0, size=2) * (1.0 - wp)
+            margin = (wp - wc) / 2.0
+            boxes[child, :2] = (boxes[parent, :2]
+                                + rng.uniform(0.05, 0.95, size=2) * margin)
+            boxes[child, 2:] = wc
         return attrs, boxes
 
     def _render(self, attrs: np.ndarray, boxes: np.ndarray) -> np.ndarray:

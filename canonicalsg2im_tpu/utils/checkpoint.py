@@ -70,10 +70,23 @@ def restore_checkpoints(gan_path: str, graph_path: str, like):
 
 def restore_checkpoint(path: str, like: Dict[str, Any] | None = None):
     """Returns (state tree, counters dict). ``like`` restores into matching
-    array types/shapes when given."""
+    array types/shapes when given; a checkpoint whose leaf shapes disagree
+    with ``like`` raises instead of silently corrupting the run (the
+    reference hard-raises on restore failure, scripts/train.py:57-59)."""
+    import numpy as np
+
     with open(path, "rb") as f:
         payload = flax.serialization.msgpack_restore(f.read())
     state = payload["state"]
     if like is not None:
         state = flax.serialization.from_state_dict(like, state)
+        for (path_a, a), b in zip(
+                jax.tree_util.tree_flatten_with_path(state)[0],
+                jax.tree_util.tree_leaves(like)):
+            if np.shape(a) != np.shape(b):
+                name = "/".join(str(p) for p in path_a)
+                raise ValueError(
+                    f"checkpoint leaf {name!r} has shape {np.shape(a)} but "
+                    f"the model expects {np.shape(b)} — wrong config for "
+                    "this checkpoint?")
     return state, payload.get("counters", {"t": 0, "epoch": 0})

@@ -46,22 +46,40 @@ def object_class_names(cfg, objs_row):
 
 
 def best_checkpoint(run_dir: str) -> str:
-    """Pick the checkpoint with the best val avg_iou from metrics.jsonl —
-    the counterpart of the reference's TensorBoard-event argmax selection
-    (layout_generation.py:76-85)."""
+    """Pick the checkpoint with the best val avg_iou — from this framework's
+    metrics.jsonl when present, else from the run directory's TensorBoard
+    event files exactly like the reference (layout_generation.py:76-85,
+    argmax over scalar tag 'val/loss/avg_iou'), so a reference user's
+    existing run dirs drive selection unchanged
+    (canonicalsg2im_tpu/utils/tb_events.py)."""
     import json as _json
 
     best_t, best_iou = None, -1.0
-    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
-        for line in f:
-            rec = _json.loads(line)
-            if rec.get("tag") == "val/loss" and "avg_iou" in rec:
-                if rec["avg_iou"] > best_iou:
-                    best_iou, best_t = rec["avg_iou"], rec["step"]
+    metrics_path = os.path.join(run_dir, "metrics.jsonl")
+    if os.path.exists(metrics_path):
+        with open(metrics_path) as f:
+            for line in f:
+                rec = _json.loads(line)
+                if rec.get("tag") == "val/loss" and "avg_iou" in rec:
+                    if rec["avg_iou"] > best_iou:
+                        best_iou, best_t = rec["avg_iou"], rec["step"]
+    else:
+        from canonicalsg2im_tpu.utils.tb_events import best_step_from_events
+
+        best_t, best_iou = best_step_from_events(run_dir, "val/loss/avg_iou")
     if best_t is None:
         raise FileNotFoundError(f"no val avg_iou records in {run_dir}")
     print(f"Best checkpoint: itr_{best_t} (avg_iou={best_iou:.4f})")
-    return os.path.join(run_dir, f"itr_{best_t}.ckpt")
+    ours = os.path.join(run_dir, f"itr_{best_t}.ckpt")
+    if os.path.exists(ours):
+        return ours
+    ref = os.path.join(run_dir, f"itr_{best_t}.pt")
+    if os.path.exists(ref):
+        raise SystemExit(
+            f"best checkpoint is the reference-format {ref}; convert it "
+            f"first:\n  python -m scripts.convert_reference_checkpoint "
+            f"{ref} --out {ours}")
+    return ours
 
 
 def main(args):

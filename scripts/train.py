@@ -124,6 +124,13 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
     if cfg.restore_checkpoint and cfg.checkpoint_name:
         states, counters = restore_checkpoint(cfg.checkpoint_name, like=states)
         t, epoch = counters["t"], counters["epoch"]
+        # resume the model->loader feedback loop immediately: without this
+        # the first post-restore epoch samples converse edges from the
+        # DEFAULT weights instead of the learned ones (the reference has the
+        # same one-epoch staleness; here the checkpoint carries the weights,
+        # so push them before the first batch)
+        _push_converse_weights(cfg, states.g.params,
+                               (train_loader, val_loader))
 
     # Inception Score accumulated over generated val images each checkpoint
     # (reference check_model, train.py:198,266-268)
@@ -327,6 +334,7 @@ def main(cfg: Config):
     if cfg.restore_checkpoint and cfg.checkpoint_name:
         tree, counters = restore_checkpoint(cfg.checkpoint_name, like=state)
         state, t, epoch = tree, counters["t"], counters["epoch"]
+        _push_converse_weights(cfg, state.params, (train_loader, val_loader))
 
     non_meta = tuple(non_meta_relation_ids(cfg.vocab))
     t_start, t0_steps = time.time(), t
@@ -389,6 +397,23 @@ def main(cfg: Config):
                 print_canonicalization_tables(cfg, state.params)
     logger.close()
     return state
+
+
+def _push_converse_weights(cfg, params, loaders):
+    """Copy the (restored) learned converse weights into the data loaders —
+    the model->dataset feedback edge of WSGC (reference update_loader_params,
+    scripts/train.py:274-278) re-established at resume time."""
+    from canonicalsg2im_tpu.models.sg2layout import symmetrize_converse
+
+    if not cfg.learned_converse:
+        return
+    p = params.get("sg_to_layout", params)
+    if "converse_candidates_weights" not in p:
+        return
+    w = np.asarray(jax.device_get(
+        symmetrize_converse(p["converse_candidates_weights"])))
+    for loader in loaders:
+        loader.set_converse_weights(w)
 
 
 def print_canonicalization_tables(cfg, params):

@@ -195,3 +195,32 @@ def test_merge_default_ladders_uncaps_checkpoint_config():
     assert bucket_for(600_000, cfg.bucket_triplets) == 1048576
     assert 24 in cfg.bucket_objects  # custom rungs kept
     assert list(cfg.bucket_triplets) == sorted(cfg.bucket_triplets)
+
+
+def test_synthetic_nested_fraction_gives_inside_surrounding_signal():
+    """Scenes with a small box strictly inside a large one must emit
+    __inside__/__surrounding__ location triplets (pure random placement
+    almost never nests, leaving those converse REINFORCE rows unlearnable).
+    Containment follows the reference's x0/"center" convention
+    (base_dataset.py:46-49)."""
+    import numpy as np
+
+    from canonicalsg2im_tpu.data.synthetic_clevr import SyntheticClevrDataset
+
+    ds = SyntheticClevrDataset(num_samples=100, min_objects=3, max_objects=8,
+                               nested_fraction=1.0, render_images=False,
+                               seed=0)
+    p2i = ds.vocab["pred_name_to_idx"]
+    for i in range(20):
+        s = ds[i]
+        preds = [int(t[1]) for t in np.asarray(s.triplets)]
+        assert p2i["__inside__"] in preds, i
+        assert p2i["__surrounding__"] in preds, i
+
+    # fraction 0 keeps the old behavior: nesting is (almost) never emitted
+    ds0 = SyntheticClevrDataset(num_samples=100, min_objects=3, max_objects=8,
+                                nested_fraction=0.0, render_images=False,
+                                seed=0)
+    n = sum(int(t[1]) == p2i["__inside__"] for i in range(50)
+            for t in np.asarray(ds0[i].triplets))
+    assert n <= 2

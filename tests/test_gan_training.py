@@ -223,3 +223,68 @@ def test_masked_gan_g_excludes_dummy_slots():
         # dummy slots with huge scores must not move the loss
         scores2 = scores.at[:, 2:].set(-100.0)
         assert abs(float(_masked_gan_g(scores2, mask, mode)) - got) < 1e-6
+
+
+def test_gan_multichip_equivalence():
+    """The full adversarial step — all four optimizers, BatchNorm
+    batch_stats, spectral-norm state — must produce the same losses and
+    parameters on 1 device, an (8, 1) data mesh, and a (4, 2) data x graph
+    mesh over the same global batch. This is the TPU analogue of SyncBN's
+    correctness claim (sync_batchnorm/batchnorm.py:51-145): batch statistics
+    under the data-sharded jit are global, so device count must not change
+    the math (only f32 reduction order)."""
+    from canonicalsg2im_tpu.parallel import create_mesh, replicate, shard_batch
+    from canonicalsg2im_tpu.train.gan import (create_gan_states,
+                                              gan_train_step,
+                                              step_cfg_from_config)
+
+    cfg, loader, vgg_params = _setup(batch_size=8, compute_dtype="float32",
+                                     num_train_samples=8)
+    sc = step_cfg_from_config(cfg)
+    batch = next(iter(loader))
+    assert batch.objs.shape[0] == 8
+    rng = jax.random.PRNGKey(5)
+
+    results = {}
+    meshes = {
+        "1dev": (create_mesh((1, 1), devices=jax.devices()[:1]), False),
+        "dp8": (create_mesh((8, 1)), False),
+        "dp4xg2": (create_mesh((4, 2)), True),
+    }
+    for name, (mesh, shard_graph) in meshes.items():
+        states = replicate(create_gan_states(cfg, jax.random.PRNGKey(0)),
+                           mesh)
+        sharded = shard_batch(batch, mesh, shard_graph=shard_graph)
+        states, metrics, conv_w = gan_train_step(states, sharded, rng,
+                                                 replicate(vgg_params, mesh),
+                                                 sc=sc)
+        results[name] = (states, {k: float(v) for k, v in metrics.items()},
+                         np.asarray(conv_w))
+
+    ref_states, ref_metrics, ref_conv = results["1dev"]
+    for name in ("dp8", "dp4xg2"):
+        states, metrics, conv_w = results[name]
+        for k in ("total_loss", "bbox_pred", "VGG", "GAN_Img", "GAN_Feat",
+                  "D_img_fake", "D_img_real", "D_obj", "loss_conv"):
+            np.testing.assert_allclose(metrics[k], ref_metrics[k], rtol=2e-4,
+                                       err_msg=f"{name}:{k}")
+        np.testing.assert_allclose(conv_w, ref_conv, atol=1e-5)
+        # params within the one-Adam-step epsilon-amplification bound, with
+        # broad drift ruled out (same pattern as the remat equivalence test)
+        for part in ("g", "d_img", "d_obj"):
+            a_tree = getattr(states, part).params
+            b_tree = getattr(ref_states, part).params
+            n_total = n_loose = 0
+            for a, b in zip(jax.tree.leaves(a_tree), jax.tree.leaves(b_tree)):
+                a, b = np.asarray(a), np.asarray(b)
+                np.testing.assert_allclose(a, b, atol=2e-2,
+                                           err_msg=f"{name}:{part}")
+                n_total += a.size
+                n_loose += int((np.abs(a - b) > 1e-4).sum())
+            assert n_loose <= max(2, n_total // 500), (name, part, n_loose,
+                                                       n_total)
+        # BatchNorm statistics are global batch moments on every mesh
+        for a, b in zip(jax.tree.leaves(states.g.batch_stats),
+                        jax.tree.leaves(ref_states.g.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, err_msg=name)
