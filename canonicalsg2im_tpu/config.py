@@ -173,6 +173,12 @@ class Config:
     # tests/test_converse_delay.py). print/checkpoint/full_test boundaries
     # are honored exactly — each block is clipped to the next boundary.
     steps_per_dispatch: int = 1
+    # Dispatch blocks prefetched ahead by a host thread (assembly + device
+    # upload of block t+1 overlap the device's execution of block t —
+    # scripts/train.py::_prefetched_blocks). 0 = synchronous assembly
+    # between dispatches (for A/B measurement). Converse-feedback staleness
+    # grows by `lookahead` blocks; the reference's is one epoch.
+    host_prefetch_blocks: int = 1
     use_pallas_splat: bool = False
     # Pallas inference fusions (eval/test-mode forwards only; training keeps
     # the XLA paths, where the kernels' dense backward loses). BOTH default

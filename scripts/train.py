@@ -101,6 +101,85 @@ def _fetch_block(it, k: int, held: list):
     return out
 
 
+def _prefetched_blocks(batch_iter, cfg: Config, K: int, t0: int, mesh,
+                       lookahead: int = 1):
+    """Yield (k, device_resident_block) with host work pipelined.
+
+    A daemon thread assembles dispatch block t+1 — loader fetch (per-sample
+    canonicalization + synthetic render), stacking, and the device upload —
+    while the device executes block t, so the host never sits between
+    dispatches (VERDICT r2 task 5; the TPU analogue of the reference
+    DataLoader's worker+pin_memory overlap). The thread tracks its own step
+    counter: block sizes depend only on t, which advances deterministically
+    by k per block. Cost: batches for block t+1 are rendered with converse
+    weights one block staler than the synchronous loop — the reference's own
+    feedback is one full EPOCH stale (update_loader_params,
+    scripts/train.py:274-278), so this is still tighter.
+
+    ``lookahead=0`` falls back to synchronous in-loop assembly (the
+    pre-pipeline behavior; used for A/B measurement)."""
+    import queue as queue_mod
+    import threading
+
+    def make_block(t, held):
+        block = _fetch_block(batch_iter, _block_size(t, cfg, K), held)
+        if not block:
+            return None
+        k = len(block)
+        if k == 1:
+            return k, shard_batch(block[0], mesh)
+        return k, shard_batch(_stack_batches(block), mesh, stacked=True)
+
+    if lookahead <= 0:
+        held = [None]
+        t = t0
+        while t < cfg.num_iterations:
+            item = make_block(t, held)
+            if item is None:
+                return
+            yield item
+            t += item[0]
+        return
+
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=lookahead)
+    stop = threading.Event()
+
+    def producer():
+        try:
+            held = [None]
+            t = t0
+            while t < cfg.num_iterations and not stop.is_set():
+                item = make_block(t, held)
+                if item is None:
+                    break
+                while not stop.is_set():  # bounded put, abandonment-safe
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue_mod.Full:
+                        continue
+                if stop.is_set():
+                    return
+                t += item[0]
+            q.put(None)
+        except BaseException as e:  # propagate to the consumer
+            if not stop.is_set():
+                q.put(e)
+
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
 def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
     """Adversarial training loop (reference train.py:346-438, GAN configs)."""
     from canonicalsg2im_tpu.models.vgg import load_vgg_params
@@ -172,25 +251,18 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
     while t < cfg.num_iterations:
         epoch += 1
         batch_iter = iter(train_loader)
-        held = [None]
-        while t < cfg.num_iterations:
-            block = _fetch_block(batch_iter, _block_size(t, cfg, K), held)
-            if not block:
-                break  # epoch exhausted
-            k = len(block)
+        for k, dev in _prefetched_blocks(batch_iter, cfg, K, t, mesh,
+                                         cfg.host_prefetch_blocks):
             maybe_profile(cfg, t + k)
             rng, sub = jax.random.split(rng)
             step_rngs = jax.random.split(sub, k)
             try:
                 if k == 1:
                     states, metrics, conv_w = gan_train_step(
-                        states, shard_batch(block[0], mesh), step_rngs[0],
-                        vgg_params, sc=sc)
+                        states, dev, step_rngs[0], vgg_params, sc=sc)
                 else:
-                    stacked = shard_batch(_stack_batches(block), mesh,
-                                          stacked=True)
                     states, metrics, conv_w = gan_train_multi_step(
-                        states, stacked, step_rngs, vgg_params, sc=sc)
+                        states, dev, step_rngs, vgg_params, sc=sc)
             except Exception as e:  # keep training through bad batches,
                 if not cfg.continue_on_error:  # as the reference does
                     raise  # (scripts/train.py:440-441)
@@ -347,26 +419,19 @@ def main(cfg: Config):
     while t < cfg.num_iterations:
         epoch += 1
         batch_iter = iter(train_loader)
-        held = [None]
-        while t < cfg.num_iterations:
-            block = _fetch_block(batch_iter, _block_size(t, cfg, K), held)
-            if not block:
-                break  # epoch exhausted
-            k = len(block)
+        for k, dev in _prefetched_blocks(batch_iter, cfg, K, t, mesh,
+                                         cfg.host_prefetch_blocks):
             maybe_profile(cfg, t + k)
             rng, sub = jax.random.split(rng)
             step_rngs = jax.random.split(sub, k)
             if k == 1:
                 state, metrics, conv_w = layout_train_step(
-                    state, shard_batch(block[0], mesh), step_rngs[0],
-                    **step_kw)
+                    state, dev, step_rngs[0], **step_kw)
             else:
                 from canonicalsg2im_tpu.train import layout_train_multi_step
 
-                stacked = shard_batch(_stack_batches(block), mesh,
-                                      stacked=True)
                 state, metrics, conv_w = layout_train_multi_step(
-                    state, stacked, step_rngs, **step_kw)
+                    state, dev, step_rngs, **step_kw)
             t += k
             if cfg.learned_converse:
                 # device -> host -> data pipeline feedback (train.py:383-385)

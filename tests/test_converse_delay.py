@@ -29,7 +29,12 @@ def _train_with_feedback_period(K: int, total_steps: int = 120):
                  num_train_samples=64, batch_size=8, min_objects=4,
                  max_objects=7, image_size=(64, 64), gconv_num_layers=2,
                  gconv_hidden_dim=64, gconv_dim=32, embedding_dim=8,
-                 learned_converse=True, learned_transitivity=True, seed=3)
+                 learned_converse=True, learned_transitivity=True, seed=3,
+                 # pin the pre-nesting distribution this comparison was
+                 # calibrated on: the test quantifies K-step feedback delay,
+                 # not nested-scene recovery (tests/test_data_pipeline.py
+                 # covers syn_nested_fraction)
+                 syn_nested_fraction=0.0)
     ds = get_dataset(cfg.dataset, "train", cfg)
     cfg.vocab = ds.vocab
     cfg.finalize()
