@@ -171,3 +171,47 @@ def test_max_pool_2x2_matches_flax_values_and_grads():
     g_ours = jax.grad(lambda x: (max_pool_2x2(x) * ct).sum())(x)
     np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
                                atol=1e-6)
+
+
+def test_spade_batch_stats_norm_gate_is_equivalent():
+    """The spade_batch_stats_norm gate must be a pure program-expression
+    change: same init param/batch_stats tree (checkpoints interchangeable),
+    same outputs and updated statistics to f32 reduction-order tolerance."""
+    from canonicalsg2im_tpu.models.spade import SPADE
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 8, 8, 16), jnp.float32)
+    seg = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 12), jnp.float32)
+
+    outs, stats, trees = [], [], []
+    for gate in (False, True):
+        m = SPADE("spadesyncbatch3x3", 16, batch_stats_norm=gate)
+        v = m.init(jax.random.PRNGKey(2), x, seg)
+        trees.append(jax.tree_util.tree_structure(v))
+        y, mut = m.apply(v, x, seg, train=True, mutable=["batch_stats"])
+        outs.append(np.asarray(y))
+        stats.append(mut["batch_stats"])
+    assert trees[0] == trees[1]
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-5, atol=2e-5)
+    for a, b in zip(jax.tree.leaves(stats[0]), jax.tree.leaves(stats[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_vgg_custom_pool_gate_matches_default_loss_and_grad():
+    """vgg_custom_pool must not change the VGG loss value or its gradient
+    (max_pool_2x2 shares XLA's first-maximum tie rule)."""
+    from canonicalsg2im_tpu.models.vgg import VGGLoss, load_vgg_params
+
+    params, _ = load_vgg_params("/nonexistent")  # fixed-seed random net
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 3), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(4), (2, 64, 64, 3), jnp.float32)
+
+    vals, grads = [], []
+    for gate in (False, True):
+        loss = VGGLoss(params, custom_pool=gate)
+        v, g = jax.value_and_grad(lambda xx: loss(xx, y))(x)
+        vals.append(float(v))
+        grads.append(np.asarray(g))
+    np.testing.assert_allclose(vals[0], vals[1], rtol=1e-6)
+    np.testing.assert_allclose(grads[0], grads[1], rtol=1e-5, atol=1e-6)
