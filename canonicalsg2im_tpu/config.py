@@ -183,6 +183,12 @@ class Config:
     # VGG19 max pools use the custom-VJP 2x2 kernel (fused elementwise
     # backward instead of select-and-scatter).
     vgg_custom_pool: bool = False
+    # Monotonic bucket-floor ratchet in the CLI loaders: pad every batch at
+    # least up to the largest bucket seen so far, so a run converges to ONE
+    # compiled shape instead of splitting K-step dispatch blocks at every
+    # bucket change (each odd-length scan block is a separate multi-minute
+    # XLA compile). Shape-only; padding is masked by the batch contract.
+    ratchet_buckets: bool = True
     # Dispatch blocks prefetched ahead by a host thread (assembly + device
     # upload of block t+1 overlap the device's execution of block t —
     # scripts/train.py::_prefetched_blocks). 0 = synchronous assembly

@@ -73,10 +73,13 @@ def bucket_for(n: int, buckets: Sequence[int]) -> int:
 
 
 def pad_batch(samples: Sequence[SceneGraphSample], padding_pred: int,
-              bucket_objects: Sequence[int], bucket_triplets: Sequence[int]) -> Batch:
+              bucket_objects: Sequence[int], bucket_triplets: Sequence[int],
+              floor_objects: int = 0, floor_triplets: int = 0) -> Batch:
     B = len(samples)
-    O = bucket_for(max(s.objs.shape[0] for s in samples), bucket_objects)
-    T = bucket_for(max(max(s.triplets.shape[0], 1) for s in samples), bucket_triplets)
+    O = max(bucket_for(max(s.objs.shape[0] for s in samples), bucket_objects),
+            floor_objects)
+    T = max(bucket_for(max(max(s.triplets.shape[0], 1) for s in samples),
+                       bucket_triplets), floor_triplets)
     A = samples[0].objs.shape[1]
     P1 = samples[0].conv_counts.shape[1]
 
@@ -128,7 +131,8 @@ class BucketedLoader:
                                                    32768, 65536, 131072,
                                                    262144, 524288, 1048576),
                  seed: int = 0, drop_last: bool = True, prefetch: int = 2,
-                 num_workers: int = 4, worker_type: str = "thread"):
+                 num_workers: int = 4, worker_type: str = "thread",
+                 ratchet_buckets: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -143,6 +147,17 @@ class BucketedLoader:
         # current converse weights ride along with every task.
         self.num_workers = num_workers
         self.worker_type = worker_type
+        # Monotonic bucket floors: once a batch lands in a bucket, every later
+        # batch pads at least up to it. Mixed bucket shapes otherwise split
+        # the trainer's K-step dispatch blocks into odd-length lax.scan
+        # programs — each a separate XLA compile (tens of minutes apiece over
+        # this chip's network tunnel) — so a two-bucket epoch can spend hours
+        # compiling. The ratchet collapses a run to its largest working shape
+        # after at most one step per ascending bucket; padding rows are
+        # masked everywhere by the batch contract, so this is shape-only.
+        self.ratchet_buckets = ratchet_buckets
+        self._floor_objects = 0
+        self._floor_triplets = 0
         self._pool = None
         self._lock = threading.Lock()
         self._pending_weights: Optional[np.ndarray] = None
@@ -186,8 +201,16 @@ class BucketedLoader:
                     lambda i: self.dataset[int(i)], idx))
             else:
                 samples = [self.dataset[int(i)] for i in idx]
-            yield pad_batch(samples, padding_pred,
-                            self.bucket_objects, self.bucket_triplets)
+            b = pad_batch(samples, padding_pred,
+                          self.bucket_objects, self.bucket_triplets,
+                          floor_objects=self._floor_objects,
+                          floor_triplets=self._floor_triplets)
+            if self.ratchet_buckets:
+                self._floor_objects = max(self._floor_objects,
+                                          b.objs.shape[1])
+                self._floor_triplets = max(self._floor_triplets,
+                                           b.triplets.shape[1])
+            yield b
 
     def __iter__(self) -> Iterator[Batch]:
         if self.prefetch <= 0:

@@ -385,7 +385,8 @@ def main(cfg: Config):
 
     loader_kw = dict(bucket_objects=cfg.bucket_objects,
                      bucket_triplets=cfg.bucket_triplets, seed=cfg.seed,
-                     num_workers=cfg.loader_num_workers)
+                     num_workers=cfg.loader_num_workers,
+                     ratchet_buckets=cfg.ratchet_buckets)
     train_loader = BucketedLoader(train_ds, cfg.batch_size, shuffle=True, **loader_kw)
     val_loader = BucketedLoader(val_ds, cfg.batch_size, shuffle=cfg.shuffle_val,
                                 **loader_kw)

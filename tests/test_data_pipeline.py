@@ -224,3 +224,36 @@ def test_synthetic_nested_fraction_gives_inside_surrounding_signal():
     n = sum(int(t[1]) == p2i["__inside__"] for i in range(50)
             for t in np.asarray(ds0[i].triplets))
     assert n <= 2
+
+
+def test_bucket_ratchet_converges_to_one_shape():
+    """With ratchet_buckets the loader pads every batch at least up to the
+    largest bucket seen, so a mixed-bucket epoch converges to ONE shape
+    (each distinct shape is a separate multi-minute XLA compile of the
+    trainer's K-step scan program). Without it, batches land in their
+    natural buckets."""
+    import numpy as np
+
+    from canonicalsg2im_tpu.data.synthetic_clevr import SyntheticClevrDataset
+    from canonicalsg2im_tpu.data.pipeline import BucketedLoader
+
+    ds = SyntheticClevrDataset(num_samples=128, min_objects=3, max_objects=10,
+                               learned_converse=True, learned_transitivity=True,
+                               render_images=False, seed=0)
+
+    shapes_nat = {(b.objs.shape[1], b.triplets.shape[1])
+                  for b in BucketedLoader(ds, 8, seed=0, prefetch=0)}
+    assert len(shapes_nat) >= 2  # the distribution genuinely mixes buckets
+
+    ldr = BucketedLoader(ds, 8, seed=0, prefetch=0, ratchet_buckets=True)
+    shapes = [(b.objs.shape[1], b.triplets.shape[1]) for b in ldr]
+    # monotone non-decreasing in both axes...
+    assert all(a <= b for a, b in zip(shapes, shapes[1:])) or True
+    for (o1, t1), (o2, t2) in zip(shapes, shapes[1:]):
+        assert o2 >= o1 and t2 >= t1
+    # ...and the floor persists into the next epoch
+    shapes2 = [(b.objs.shape[1], b.triplets.shape[1]) for b in ldr]
+    assert all(s == shapes[-1] for s in shapes2), set(shapes2)
+    # padding stays masked: pad rows are -1 boxes / 0 objs
+    b = next(iter(ldr))
+    assert np.all(b.boxes[b.objs[..., 0] == 0] == -1.0)
