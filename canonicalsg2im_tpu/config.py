@@ -195,6 +195,18 @@ class Config:
     # between dispatches (for A/B measurement). Converse-feedback staleness
     # grows by `lookahead` blocks; the reference's is one epoch.
     host_prefetch_blocks: int = 1
+    # Cache the train split's images in HBM once (data/device_cache.py) and
+    # serve each batch by an on-device gather keyed by image_ids. Removes the
+    # recurring per-step image upload — on this tunnel'd host that upload
+    # caps the 256^2 GAN CLI at ~8 imgs/s against an ~80 imgs/s device step.
+    # Epoch semantics are unchanged: the loader still re-shuffles and
+    # re-canonicalizes every draw with the live converse weights; only the
+    # canonicalization-independent pixels are cached. Batches are
+    # bit-identical to the uncached path (tests/test_device_cache.py).
+    device_image_pool: bool = False
+    # pool storage dtype; float32 is bit-exact, bfloat16 halves pool HBM
+    # (decoded back to f32 in the gather, so the step executable is shared)
+    device_pool_dtype: str = "float32"
     use_pallas_splat: bool = False
     # Pallas inference fusions (eval/test-mode forwards only; training keeps
     # the XLA paths, where the kernels' dense backward loses). BOTH default

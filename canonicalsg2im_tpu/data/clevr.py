@@ -101,6 +101,8 @@ class ClevrDialogDataset:
         self.packed = packed
         P = len(self.vocab["pred_name_to_idx"])
         self.converse_candidates_weights = np.zeros((P, P))
+        # DeviceImagePool flips this off once images are cached in HBM
+        self.render_images = True
 
         if not packed:
             # sparse CLEVR-Dialog mode keeps CLEVR's annotated directional
@@ -141,7 +143,7 @@ class ClevrDialogDataset:
 
         image = None
         fname = sg.get("image_filename")
-        if fname:
+        if fname and self.render_images:
             path = os.path.join(self.image_dir, sg.get("split", self.mode),
                                 fname)
             if os.path.exists(path):

@@ -176,6 +176,8 @@ class CocoSceneGraphDataset:
                         self.vocab["object_name_to_idx"].items()}}
         P = len(self.vocab["pred_name_to_idx"])
         self.converse_candidates_weights = np.zeros((P, P))
+        # DeviceImagePool flips this off once images are cached in HBM
+        self.render_images = True
 
     def __len__(self):
         n = len(self.image_ids)
@@ -254,8 +256,9 @@ class CocoSceneGraphDataset:
         image_id = self.image_ids[index]
         rng = np.random.default_rng((self.seed, image_id))
         fname, WW, HH = self.image_meta[image_id]
-        image = load_image_imagenet(os.path.join(self.image_dir, fname),
-                                    self.image_size)
+        image = (load_image_imagenet(os.path.join(self.image_dir, fname),
+                                     self.image_size)
+                 if self.render_images else None)
 
         objs, boxes, masks = [], [], []
         for ann in self.image_id_to_objects[image_id]:

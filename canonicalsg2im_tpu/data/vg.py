@@ -79,6 +79,8 @@ class VGSceneGraphDataset:
 
         P = len(self.vocab["pred_name_to_idx"])
         self.converse_candidates_weights = np.zeros((P, P))
+        # DeviceImagePool flips this off once images are cached in HBM
+        self.render_images = True
 
     def __len__(self):
         n = len(self.index_map)
@@ -89,8 +91,9 @@ class VGSceneGraphDataset:
         rng = np.random.default_rng((self.seed, index))
         path = self.image_paths[index]
         image_id = int(os.path.basename(path).split(".")[0])
-        image = load_image(os.path.join(self.image_dir, path),
-                           self.image_size)
+        image = (load_image(os.path.join(self.image_dir, path),
+                            self.image_size)
+                 if self.render_images else None)
         from PIL import Image as PILImage
 
         with PILImage.open(os.path.join(self.image_dir, path)) as im:

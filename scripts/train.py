@@ -102,7 +102,7 @@ def _fetch_block(it, k: int, held: list):
 
 
 def _prefetched_blocks(batch_iter, cfg: Config, K: int, t0: int, mesh,
-                       lookahead: int = 1):
+                       lookahead: int = 1, attach=None):
     """Yield (k, device_resident_block) with host work pipelined.
 
     A daemon thread assembles dispatch block t+1 — loader fetch (per-sample
@@ -126,9 +126,13 @@ def _prefetched_blocks(batch_iter, cfg: Config, K: int, t0: int, mesh,
         if not block:
             return None
         k = len(block)
-        if k == 1:
-            return k, shard_batch(block[0], mesh)
-        return k, shard_batch(_stack_batches(block), mesh, stacked=True)
+        host = block[0] if k == 1 else _stack_batches(block)
+        dev = shard_batch(host, mesh, stacked=k > 1)
+        if attach is not None:
+            # device-image-pool feed: fill imgs by an on-device gather keyed
+            # by the HOST copy of image_ids (no device->host readback)
+            dev = attach(dev, host.image_ids)
+        return k, dev
 
     if lookahead <= 0:
         held = [None]
@@ -246,13 +250,25 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
             out["inception_mean"], out["inception_std"] = mean, std
         return out, img, vb
 
+    attach = None
+    if cfg.device_image_pool:
+        from canonicalsg2im_tpu.data.device_cache import DeviceImagePool
+
+        pool = DeviceImagePool(train_loader.dataset, mesh,
+                               dtype=cfg.device_pool_dtype, progress=True)
+        print(f"DeviceImagePool: cached {pool.pool.shape[0]} train images "
+              f"({pool.nbytes() / 1e9:.2f} GB HBM, {pool.pool.dtype}); "
+              "loader rendering disabled")
+        attach = pool.attach
+
     t_start, t0_steps = time.time(), t
     K = max(1, cfg.steps_per_dispatch)
     while t < cfg.num_iterations:
         epoch += 1
         batch_iter = iter(train_loader)
         for k, dev in _prefetched_blocks(batch_iter, cfg, K, t, mesh,
-                                         cfg.host_prefetch_blocks):
+                                         cfg.host_prefetch_blocks,
+                                         attach=attach):
             maybe_profile(cfg, t + k)
             rng, sub = jax.random.split(rng)
             step_rngs = jax.random.split(sub, k)
