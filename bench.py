@@ -155,9 +155,6 @@ def main():
         use_pallas_splat=os.environ.get("BENCH_PALLAS_SPLAT", "0") == "1",
         batch_fake_real=os.environ.get("BENCH_BATCH_FR", "0") == "1",
         remat_spade_mlp=os.environ.get("BENCH_REMAT_SPADE_MLP", "0") == "1",
-        # per-change A/B gates for the session-5 primitives (VERDICT r2)
-        spade_batch_stats_norm=os.environ.get("BENCH_BSN", "0") == "1",
-        vgg_custom_pool=os.environ.get("BENCH_VGG_POOL", "0") == "1",
     )
     ds = get_dataset(cfg.dataset, "train", cfg)
     cfg.vocab = ds.vocab

@@ -173,16 +173,6 @@ class Config:
     # tests/test_converse_delay.py). print/checkpoint/full_test boundaries
     # are honored exactly — each block is clipped to the next boundary.
     steps_per_dispatch: int = 1
-    # A/B gates for the session-5 primitives (models/layers.py), re-landed
-    # ONE at a time with an on-chip measurement each (VERDICT r2 tasks 1+6;
-    # the four-change batch measured -11% in aggregate, docs/ROUND2_NOTES.md):
-    # SPADE's param-free norm computes f32 statistics directly off the bf16
-    # input (BatchStatsNorm) instead of materializing an f32 upcast copy.
-    # Identical batch_stats tree; checkpoints are interchangeable.
-    spade_batch_stats_norm: bool = False
-    # VGG19 max pools use the custom-VJP 2x2 kernel (fused elementwise
-    # backward instead of select-and-scatter).
-    vgg_custom_pool: bool = False
     # Monotonic bucket-floor ratchet in the CLI loaders: pad every batch at
     # least up to the largest bucket seen so far, so a run converges to ONE
     # compiled shape instead of splitting K-step dispatch blocks at every

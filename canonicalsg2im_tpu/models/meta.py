@@ -44,7 +44,6 @@ class MetaGeneratorModel(nn.Module):
     use_pallas_splat: bool = False
     use_pallas_splat_eval: bool = False
     fused_spade_eval: bool = False
-    spade_batch_stats_norm: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config) -> "MetaGeneratorModel":
@@ -66,7 +65,6 @@ class MetaGeneratorModel(nn.Module):
             fused_spade_eval=bool(cfg.fused_spade_eval),
             remat=cfg.remat_generator,
             remat_spade_mlp=cfg.remat_spade_mlp,
-            spade_batch_stats_norm=cfg.spade_batch_stats_norm,
         )
 
     @nn.compact
@@ -105,7 +103,6 @@ class MetaGeneratorModel(nn.Module):
                 use_vae=self.use_vae, z_dim=self.z_dim,
                 dtype=self.dtype, remat=self.remat,
                 remat_spade_mlp=self.remat_spade_mlp,
-                batch_stats_norm=self.spade_batch_stats_norm,
                 use_pallas_splat=self.use_pallas_splat,
                 use_pallas_splat_eval=self.use_pallas_splat_eval,
                 fused_spade_eval=self.fused_spade_eval,

@@ -41,21 +41,10 @@ class ParamFreeNorm(nn.Module):
     (normalization.py:75-83)."""
 
     kind: str  # 'syncbatch' | 'batch' | 'instance'
-    # f32 statistics accumulated directly off the (bf16) input instead of
-    # normalizing a materialized f32 upcast — same batch_stats tree (the
-    # module is named BatchNorm_0 either way), same math up to f32 reduction
-    # order; config gate spade_batch_stats_norm
-    direct_f32_stats: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         if self.kind in ("syncbatch", "batch"):
-            if self.direct_f32_stats:
-                from canonicalsg2im_tpu.models.layers import BatchStatsNorm
-
-                return BatchStatsNorm(momentum=0.9, epsilon=1e-5,
-                                      name="BatchNorm_0")(
-                    x, use_running_average=not train)
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, use_bias=False, use_scale=False)(x)
         if self.kind == "instance":
@@ -83,7 +72,6 @@ class SPADE(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat_mlp: bool = False
     fused_eval: bool = False  # Pallas norm+convs+affine kernel when not train
-    batch_stats_norm: bool = False  # f32 stats off the bf16 input (no upcast)
 
     def _gamma_beta(self, seg, ks: int):
         nhidden = 128
@@ -124,14 +112,8 @@ class SPADE(nn.Module):
         # statistics always in float32; the normalized map and the affine ride
         # the compute dtype (bf16 on TPU — the saved-for-backward activations
         # of the resblock pyramid are the GAN step's largest HBM consumers)
-        if self.batch_stats_norm and norm_kind in ("syncbatch", "batch"):
-            # no materialized f32 copy: BatchStatsNorm accumulates f32 stats
-            # directly off the input and normalizes back to its dtype
-            normalized = ParamFreeNorm(norm_kind, direct_f32_stats=True)(
-                x, train=train).astype(self.dtype)
-        else:
-            normalized = ParamFreeNorm(norm_kind)(
-                x.astype(jnp.float32), train=train).astype(self.dtype)
+        normalized = ParamFreeNorm(norm_kind)(
+            x.astype(jnp.float32), train=train).astype(self.dtype)
 
         seg = resize_nearest(segmap, x.shape[1:3]).astype(self.dtype)
         fn = (nn.remat(SPADE._gamma_beta, static_argnums=(2,))
@@ -149,7 +131,6 @@ class SPADEResnetBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat_spade_mlp: bool = False
     fused_spade_eval: bool = False
-    batch_stats_norm: bool = False
 
     @nn.compact
     def __call__(self, x, seg, train: bool = True):
@@ -171,8 +152,7 @@ class SPADEResnetBlock(nn.Module):
         def spade(name, nc, y):
             return SPADE(spade_cfg, nc, dtype=self.dtype,
                          remat_mlp=self.remat_spade_mlp,
-                         fused_eval=self.fused_spade_eval,
-                         batch_stats_norm=self.batch_stats_norm, name=name)(
+                         fused_eval=self.fused_spade_eval, name=name)(
                 y, seg, train=train)
 
         if learned_shortcut:
@@ -264,7 +244,6 @@ class SPADEGenerator(nn.Module):
     # and the measured train-path verdicts in docs/PERF.md)
     use_pallas_splat_eval: bool = False
     fused_spade_eval: bool = False
-    batch_stats_norm: bool = False   # f32 stats off bf16 input in SPADE norms
 
     @nn.compact
     def __call__(self, objs, layout_boxes, layout_masks=None, *,
@@ -335,7 +314,7 @@ class SPADEGenerator(nn.Module):
             fi, fo, self.norm_G, dtype=self.dtype,
             remat_spade_mlp=self.remat_spade_mlp,
             fused_spade_eval=self.fused_spade_eval and not train,
-            batch_stats_norm=self.batch_stats_norm, name=name)
+            name=name)
         def run(b, x):
             # the block's norms all operate at x's resolution
             return b(x, seg_for(x.shape[1], x.shape[2]), train)

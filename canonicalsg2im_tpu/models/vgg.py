@@ -33,29 +33,17 @@ VGG_LOSS_WEIGHTS = (1.0 / 32, 1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0)
 
 
 class VGG19Features(nn.Module):
-    """Returns [relu1_1, relu2_1, relu3_1, relu4_1, relu5_1] (NHWC).
-
-    ``custom_pool`` routes even-sized planes through the custom-VJP 2x2 max
-    pool (models/layers.py::max_pool_2x2 — fused elementwise backward instead
-    of XLA's select-and-scatter; same first-maximum tie rule). Config gate
-    vgg_custom_pool."""
+    """Returns [relu1_1, relu2_1, relu3_1, relu4_1, relu5_1] (NHWC)."""
 
     dtype: jnp.dtype = jnp.float32
-    custom_pool: bool = False
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
-        from canonicalsg2im_tpu.models.layers import max_pool_2x2
-
         taps = []
         conv_idx = 0
         for stage, (width, n_convs) in enumerate(VGG19_STAGES):
             if stage > 0:
-                if (self.custom_pool and x.shape[1] % 2 == 0
-                        and x.shape[2] % 2 == 0):
-                    x = max_pool_2x2(x)
-                else:
-                    x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
             for c in range(n_convs):
                 x = nn.Conv(width, (3, 3), padding="SAME", dtype=self.dtype,
                             name=f"conv{conv_idx}")(x)
@@ -96,9 +84,9 @@ class VGGLoss:
     exact); only the x half carries gradient, matching the reference's
     ``y.detach()``."""
 
-    def __init__(self, params, dtype=jnp.float32, custom_pool=False):
+    def __init__(self, params, dtype=jnp.float32):
         self.params = params
-        self.model = VGG19Features(dtype=dtype, custom_pool=custom_pool)
+        self.model = VGG19Features(dtype=dtype)
 
     def __call__(self, x, y):
         B = x.shape[0]

@@ -84,8 +84,6 @@ class StepCfg(NamedTuple):
     # Config.batch_fake_real: off (measured neutral-to-negative at the bench
     # shapes, see docs/PERF.md).
     batch_fake_real: bool = False
-    # Custom-VJP 2x2 max pool inside the VGG loss (A/B gate, models/layers.py)
-    vgg_custom_pool: bool = False
     # Rematerialize loss-side network forwards instead of saving their
     # activations for backward: "none" | "vgg" | "all". The fused step runs
     # at the HBM ceiling (temp 13.7G of 15.75G at 256^2 batch 16; the VGG
@@ -124,7 +122,6 @@ def step_cfg_from_config(cfg: Config) -> StepCfg:
         compute_dtype=cfg.compute_dtype,
         norm_D=cfg.norm_D,
         batch_fake_real=cfg.batch_fake_real,
-        vgg_custom_pool=cfg.vgg_custom_pool,
     )
 
 
@@ -365,8 +362,7 @@ def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
             total = total + feat
 
         if not sc.no_vgg_loss:
-            vgg_loss = VGGLoss(vgg_params, dtype=jnp.dtype(sc.compute_dtype),
-                               custom_pool=sc.vgg_custom_pool)
+            vgg_loss = VGGLoss(vgg_params, dtype=jnp.dtype(sc.compute_dtype))
             vgg = ckpt_vgg(lambda img: vgg_loss(img, batch.imgs))(
                 img_pred) * sc.lambda_vgg
             losses["VGG"] = vgg

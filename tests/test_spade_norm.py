@@ -34,64 +34,6 @@ def test_param_free_instance_norm():
     np.testing.assert_allclose(y.var(axis=(1, 2)), 1.0, atol=1e-3)
 
 
-def test_batch_stats_norm_is_flax_batchnorm_dropin():
-    """BatchStatsNorm (the no-f32-materialization rewrite) must be
-    indistinguishable from nn.BatchNorm(use_bias=False, use_scale=False):
-    same variable tree, same outputs, same running-stat updates, and an
-    eval-mode path driven by the running statistics."""
-    from canonicalsg2im_tpu.models.layers import BatchStatsNorm
-
-    rng = np.random.default_rng(4)
-    x = rng.normal(1.0, 2.5, size=(4, 5, 5, 7)).astype(np.float32)
-
-    ours = BatchStatsNorm(momentum=0.9, epsilon=1e-5)
-    ref = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5,
-                       use_bias=False, use_scale=False)
-    v_ours = ours.init(jax.random.PRNGKey(0), x, use_running_average=False)
-    v_ref = ref.init(jax.random.PRNGKey(0), x)
-    assert (jax.tree_util.tree_structure(v_ours)
-            == jax.tree_util.tree_structure(v_ref))
-
-    y_ours, s_ours = ours.apply(v_ours, x, use_running_average=False,
-                                mutable=["batch_stats"])
-    y_ref, s_ref = ref.apply(v_ref, x, mutable=["batch_stats"])
-    np.testing.assert_allclose(np.asarray(y_ours), np.asarray(y_ref),
-                               atol=1e-5)
-    for a, b in zip(jax.tree.leaves(s_ours), jax.tree.leaves(s_ref)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
-
-    # eval path reads the updated running stats
-    y_eval = ours.apply({**v_ours, **s_ours}, x, use_running_average=True)
-    m = s_ours["batch_stats"]["mean"]
-    v = s_ours["batch_stats"]["var"]
-    want = (x - np.asarray(m)) / np.sqrt(np.asarray(v) + 1e-5)
-    np.testing.assert_allclose(np.asarray(y_eval), want, atol=1e-5)
-
-
-def test_batch_stats_norm_bf16_statistics_are_f32():
-    """bf16 input: statistics must accumulate in f32 (match the cast-to-f32
-    oracle tightly) and the output must ride bf16."""
-    from canonicalsg2im_tpu.models.layers import BatchStatsNorm
-
-    rng = np.random.default_rng(5)
-    xf = rng.normal(3.0, 1.5, size=(8, 16, 16, 5)).astype(np.float32)
-    x = jnp.asarray(xf).astype(jnp.bfloat16)
-
-    model = BatchStatsNorm()
-    v = model.init(jax.random.PRNGKey(0), x, use_running_average=False)
-    y, s = model.apply(v, x, use_running_average=False,
-                       mutable=["batch_stats"])
-    assert y.dtype == jnp.bfloat16
-
-    x32 = np.asarray(x, dtype=np.float32)  # exact bf16 values
-    np.testing.assert_allclose(np.asarray(s["batch_stats"]["mean"]) * 10,
-                               x32.mean(axis=(0, 1, 2)), atol=1e-5)
-    want = (x32 - x32.mean(axis=(0, 1, 2))) / np.sqrt(
-        x32.var(axis=(0, 1, 2)) + 1e-5)
-    np.testing.assert_allclose(np.asarray(y, dtype=np.float32), want,
-                               atol=1e-2)  # bf16 output quantization
-
-
 def test_batchnorm_is_synced_across_mesh():
     """Same global batch, 1 device vs 8-way data sharding: identical output
     and identical running statistics — the reference needed 638 LoC of
