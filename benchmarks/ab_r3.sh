@@ -2,6 +2,12 @@
 # Round-3 per-change A/B harness (VERDICT r2 task 1 / ROUND2_NOTES re-land
 # policy): each session-5 primitive re-measured ONE change at a time on the
 # same host/day, full GAN step, 256^2 batch 16. Sequential — one chip.
+#
+# HISTORICAL: results in docs/logs/ab_r3.log (baseline 81.42, bsn 81.29
+# neutral, vggpool 79.27 loses). The BENCH_BSN / BENCH_VGG_POOL gates were
+# removed afterwards and the primitives demoted to
+# benchmarks/candidate_layers.py — re-running this script now measures the
+# baseline four times. To re-A/B, re-wire a gate from candidate_layers first.
 set -u
 cd /root/repo
 LOG=${1:-docs/logs/ab_r3.log}
