@@ -7,7 +7,10 @@ set -u
 cd /root/repo
 OUT=out/wsgc_gan_256_r3b
 for attempt in $(seq 1 6); do
-  CKPT=$(ls -1 "$OUT"/itr_*.ckpt 2>/dev/null | sort -t_ -k2 -n | tail -1)
+  # sort -V: itr_15000 must beat itr_9000 (field-2 numeric sort was wrong —
+  # underscores in OUT made field 2 non-numeric, falling back to lexicographic,
+  # which resumed attempt 3 from itr_9000 instead of itr_15000).
+  CKPT=$(ls -1 "$OUT"/itr_*.ckpt 2>/dev/null | sort -V | tail -1)
   echo "=== supervisor attempt $attempt $(date -u +%H:%M:%S) resume='${CKPT:-none}'" >> "$OUT.log"
   if [ -n "${CKPT:-}" ]; then
     benchmarks/flagship_r3.sh "$CKPT"
