@@ -27,25 +27,46 @@ def main() -> None:
             elif str(r.get("tag", "")).startswith("val"):
                 val.append(r)
 
-    keys = ("total_loss", "bbox_pred", "D_img_real", "D_img_fake",
-            "GAN_Img", "GAN_Feat", "VGG", "loss_conv")
-    print("step | " + " | ".join(keys) + " | inst imgs/s")
+    # A run that resumed from a checkpoint appends a new pass to the same
+    # metrics.jsonl; its wall clock restarts and its steps may overlap the
+    # previous pass. Split on wall resets, compute instantaneous rates only
+    # within a pass, and let later passes shadow earlier ones per step.
+    attempt = 0
     prev = None
+    by_step = {}
     for r in train:
         s = r.get("step")
         if s is None:
             continue
-        rate = ""
-        if prev is not None and s > prev[0]:
-            rate = f"{(s - prev[0]) * args.batch / (r['wall'] - prev[1]):.1f}"
+        if prev is not None and (r["wall"] < prev[1] or s <= prev[0]):
+            attempt += 1
+            prev = None
+        rate = None
+        if prev is not None:
+            rate = (s - prev[0]) * args.batch / (r["wall"] - prev[1])
         prev = (s, r["wall"])
-        if s % args.stride == 0:
-            vals = " | ".join(f"{r.get(k, float('nan')):.3f}" for k in keys)
-            print(f"{s} | {vals} | {rate}")
+        by_step[s] = (r, rate, attempt)
+
+    n_attempts = attempt + 1
+    if n_attempts > 1:
+        print(f"# {n_attempts} passes in metrics.jsonl (resumes); "
+              "latest pass shown per step, rates computed within a pass")
+    keys = ("total_loss", "bbox_pred", "D_img_real", "D_img_fake",
+            "GAN_Img", "GAN_Feat", "VGG", "loss_conv")
+    print("step | " + " | ".join(keys) + " | inst imgs/s | pass")
+    for s in sorted(by_step):
+        if s % args.stride != 0:
+            continue
+        r, rate, att = by_step[s]
+        vals = " | ".join(f"{r.get(k, float('nan')):.3f}" for k in keys)
+        rtxt = f"{rate:.1f}" if rate is not None else ""
+        print(f"{s} | {vals} | {rtxt} | {att + 1}")
 
     if val:
         vkeys = sorted({k for r in val for k in r
                         if k not in ("tag", "step", "wall")})
+        vby_step = {r.get("step"): r for r in val}  # later passes shadow
+        val = [vby_step[s] for s in sorted(vby_step)]
         print("\nval: step | " + " | ".join(vkeys))
         for r in val:
             print(f"{r.get('step')} | "
