@@ -133,3 +133,157 @@ def scalar_tags(run_dir: str) -> Dict[str, int]:
         for _, tag, _ in iter_scalars(os.path.join(run_dir, name)):
             counts[tag] = counts.get(tag, 0) + 1
     return counts
+
+
+# ---------------------------------------------------------------------------
+# Event-file WRITING — the inverse of the reader above.
+#
+# The reference's entire observability surface is tensorboardX scalars and
+# images (`scripts/train.py:292,364,454-465` via `sg2im/utils.py:53`
+# `writer.add_scalar('%s/%s' % (tag, k), v, itr)`). Writing the same wire
+# format lets a reference user's TensorBoard dashboards and the TB-based
+# best-checkpoint flow (`best_step_from_events` above) work on runs produced
+# by THIS framework. Unlike the reader, the writer emits real masked-CRC32C
+# record framing — TensorBoard's own loader verifies CRCs on read.
+# ---------------------------------------------------------------------------
+
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli), the checksum TFRecord framing requires."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        table = []
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            table.append(c)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = _crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def _varint(value: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _field(number: int, wire: int, payload: bytes) -> bytes:
+    return _varint((number << 3) | wire) + payload
+
+
+def _len_delim(number: int, payload: bytes) -> bytes:
+    return _field(number, 2, _varint(len(payload)) + payload)
+
+
+def _encode_event(wall_time: float, step: int = 0, *,
+                  summary: bytes = b"", file_version: str = "") -> bytes:
+    """Event proto: 1=wall_time double, 2=step varint, 3=file_version,
+    5=summary (matching the field map in the module docstring)."""
+    buf = _field(1, 1, struct.pack("<d", wall_time))
+    if step:
+        buf += _field(2, 0, _varint(step))
+    if file_version:
+        buf += _len_delim(3, file_version.encode("utf-8"))
+    if summary:
+        buf += _len_delim(5, summary)
+    return buf
+
+
+def _scalar_value(tag: str, value: float) -> bytes:
+    """Summary{1=Value{1=tag, 2=simple_value float32}}."""
+    return _len_delim(1, _len_delim(1, tag.encode("utf-8")) + _field(
+        2, 5, struct.pack("<f", float(value))))
+
+
+def _image_value(tag: str, png: bytes, height: int, width: int,
+                 colorspace: int = 3) -> bytes:
+    """Summary.Value: 1=tag, 4=Summary.Image{1=h,2=w,3=colorspace,4=png}."""
+    image = (_field(1, 0, _varint(height)) + _field(2, 0, _varint(width)) +
+             _field(3, 0, _varint(colorspace)) + _len_delim(4, png))
+    return _len_delim(1, _len_delim(1, tag.encode("utf-8")) +
+                      _len_delim(4, image))
+
+
+class TBEventWriter:
+    """Append-only TensorBoard event file writer (tensorboardX-compatible).
+
+    Emits one ``events.out.tfevents.<time>.<host>`` file per instance, with
+    the mandatory ``brain.Event:2`` file-version record first — TensorBoard
+    refuses files without it.
+    """
+
+    def __init__(self, run_dir: str):
+        os.makedirs(run_dir, exist_ok=True)
+        import socket
+        import time as _time
+        t = _time.time()
+        self.path = os.path.join(
+            run_dir, "events.out.tfevents.%d.%s" % (int(t),
+                                                    socket.gethostname()))
+        self._f = open(self.path, "ab")
+        self._write_record(_encode_event(t, file_version="brain.Event:2"))
+
+    def _write_record(self, payload: bytes) -> None:
+        header = struct.pack("<Q", len(payload))
+        self._f.write(header)
+        self._f.write(struct.pack("<I", _masked_crc(header)))
+        self._f.write(payload)
+        self._f.write(struct.pack("<I", _masked_crc(payload)))
+        self._f.flush()
+
+    def add_scalar(self, tag: str, value: float, step: int,
+                   wall_time: float | None = None) -> None:
+        import time as _time
+        summary = _scalar_value(tag, value)
+        self._write_record(_encode_event(
+            wall_time if wall_time is not None else _time.time(),
+            step, summary=summary))
+
+    def add_scalars(self, tag_prefix: str, metrics: Dict, step: int) -> None:
+        """The reference's ``log_scalar_dict`` (sg2im/utils.py:46-53):
+        one scalar record per key, tagged ``{prefix}/{key}``."""
+        import time as _time
+        t = _time.time()
+        for k, v in metrics.items():
+            self._write_record(_encode_event(
+                t, step, summary=_scalar_value(f"{tag_prefix}/{k}",
+                                               float(v))))
+
+    def add_image(self, tag: str, image_hwc, step: int) -> None:
+        """uint8/float HWC image -> PNG-encoded Summary.Image record
+        (the reference's add_images val grids, scripts/train.py:454-465)."""
+        import io
+        import time as _time
+        import numpy as _np
+        from PIL import Image
+        arr = _np.asarray(image_hwc)
+        if arr.dtype != _np.uint8:
+            arr = (_np.clip(arr, 0.0, 1.0) * 255).astype(_np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="png")
+        h, w = arr.shape[:2]
+        self._write_record(_encode_event(
+            _time.time(), step,
+            summary=_image_value(tag, buf.getvalue(), h, w,
+                                 colorspace=arr.shape[2]
+                                 if arr.ndim == 3 else 1)))
+
+    def close(self) -> None:
+        self._f.close()

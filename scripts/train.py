@@ -1,12 +1,18 @@
 """Training driver — counterpart of the reference `scripts/train.py`.
 
-Currently drives the SG->Layout stage (the reference's
-``--skip_generation 1`` configuration, its "minimum end-to-end slice"); the
-AttSPADE GAN stage plugs into the same loop via train.gan_step.
+Drives both stages end-to-end: the SG->Layout stage (the reference's
+``--skip_generation 1`` configuration) via `train_layout`, and the full
+AttSPADE GAN stage (G + REINFORCE + all discriminators, `train_gan` below)
+with K-step scan dispatch, host prefetch, val harness, checkpointing, and
+JSONL + TensorBoard logging.
 
 Usage:
+  # SG->Layout stage
   python -m scripts.train --dataset packed_clevr_syn --skip_generation 1 \
       --num_iterations 200 --batch_size 16 --learned_converse 1
+  # full GAN stage
+  python -m scripts.train --dataset packed_coco --dataroot datasets/synth \
+      --image_size 256,256 --batch_size 16 --num_iterations 4000
 """
 from __future__ import annotations
 
@@ -328,10 +334,14 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
                     vi, *_ = gan_eval_step(states, vb, eval_rng, sc=sc,
                                            use_gt=gb, use_gt_masks=gm)
                     if vi is not None:
-                        save_image_grid(
+                        row = save_image_grid(
                             np.asarray(jax.device_get(vi)),
                             os.path.join(cfg.output_dir, "val", str(t),
                                          f"{name}.png"), cfg.img_deprocess)
+                        if row is not None:
+                            # reference mirrors val grids to TB
+                            # (train.py:454-465 add_images)
+                            logger.log_image(f"val_{name}", row, t)
                 save_image_grid(np.asarray(vb.imgs),
                                 os.path.join(cfg.output_dir, "val", str(t),
                                              "gt_img.png"), cfg.img_deprocess)
@@ -388,6 +398,7 @@ def save_image_grid(imgs, path, mode: str = "decode_img"):
     arr = deprocess(np.asarray(imgs), mode)
     row = np.concatenate(list(arr), axis=1)
     Image.fromarray(row).save(path)
+    return row
 
 
 def main(cfg: Config):

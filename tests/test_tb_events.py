@@ -106,3 +106,76 @@ def test_best_checkpoint_falls_back_to_tb_events(tmp_path, capsys):
     # with a converted checkpoint present, selection succeeds
     open(os.path.join(run_dir, "itr_200.ckpt"), "wb").close()
     assert best_checkpoint(run_dir).endswith("itr_200.ckpt")
+
+
+# ---------------------------------------------------------------------------
+# Writer tests (round 4): TBEventWriter must produce files that (1) our own
+# reader parses, and (2) TensorBoard's real CRC-verifying EventAccumulator
+# loads — so a reference user's TB tooling plots a fresh run of THIS
+# framework (reference writes via tensorboardX, scripts/train.py:292,364).
+# ---------------------------------------------------------------------------
+
+
+def test_writer_roundtrip_own_reader(tmp_path):
+    from canonicalsg2im_tpu.utils.tb_events import TBEventWriter
+
+    run_dir = str(tmp_path)
+    w = TBEventWriter(run_dir)
+    for step, tag, value in RECORDS:
+        w.add_scalar(tag, value, step)
+    w.close()
+    got = read_scalars(run_dir, "val/loss/avg_iou")
+    assert [s for s, _ in got] == [100, 200, 300, 400]
+    step, value = best_step_from_events(run_dir)
+    assert step == 200 and abs(value - 0.35) < 1e-6
+
+
+def test_writer_crc32c_known_vector():
+    from canonicalsg2im_tpu.utils.tb_events import _crc32c, _masked_crc
+
+    # RFC 3720 CRC-32C check value
+    assert _crc32c(b"123456789") == 0xE3069283
+    assert _crc32c(b"") == 0
+    # mask formula: rot15 + magic (TFRecord spec)
+    crc = _crc32c(b"abc")
+    assert _masked_crc(b"abc") == ((((crc >> 15) | (crc << 17))
+                                    + 0xA282EAD8) & 0xFFFFFFFF)
+
+
+def test_writer_read_by_real_tensorboard(tmp_path):
+    """The CRC-verifying reader TensorBoard actually uses must accept our
+    framing, file-version record, scalars, and PNG image summaries."""
+    ea = pytest.importorskip("tensorboard.backend.event_processing"
+                             ".event_accumulator")
+    np = pytest.importorskip("numpy")
+    from canonicalsg2im_tpu.utils.tb_events import TBEventWriter
+
+    run_dir = str(tmp_path)
+    w = TBEventWriter(run_dir)
+    w.add_scalars("val/loss", {"avg_iou": 0.25, "total_loss": 1.5}, 100)
+    w.add_scalars("val/loss", {"avg_iou": 0.35}, 200)
+    w.add_image("val/grid", (np.arange(8 * 8 * 3, dtype=np.uint8)
+                             .reshape(8, 8, 3)), 200)
+    w.close()
+
+    acc = ea.EventAccumulator(run_dir)
+    acc.Reload()
+    assert sorted(acc.Tags()["scalars"]) == ["val/loss/avg_iou",
+                                             "val/loss/total_loss"]
+    scalars = [(e.step, e.value) for e in acc.Scalars("val/loss/avg_iou")]
+    assert scalars[0][0] == 100 and abs(scalars[0][1] - 0.25) < 1e-6
+    assert scalars[1][0] == 200 and abs(scalars[1][1] - 0.35) < 1e-6
+    img = acc.Images("val/grid")[0]
+    assert (img.width, img.height) == (8, 8)
+    assert img.encoded_image_string[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_metric_logger_mirrors_to_tb(tmp_path):
+    from canonicalsg2im_tpu.utils import MetricLogger
+
+    run_dir = str(tmp_path)
+    logger = MetricLogger(run_dir, every=1)
+    logger.log("val/loss", {"avg_iou": 0.4}, 500, force=True)
+    logger.close()
+    step, value = best_step_from_events(run_dir)
+    assert step == 500 and abs(value - 0.4) < 1e-6
