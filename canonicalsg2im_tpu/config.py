@@ -197,6 +197,16 @@ class Config:
     # pool storage dtype; float32 is bit-exact, bfloat16 halves pool HBM
     # (decoded back to f32 in the gather, so the step executable is shared)
     device_pool_dtype: str = "float32"
+    # >0 switches device_image_pool to the RotatingDevicePool: the dataset
+    # streams through HBM in segments of this many images (two buffers
+    # resident, next segment rendered+uploaded in the background) — for
+    # datasets that exceed HBM, e.g. real COCO train. Must hold at least
+    # one dispatch block (batch_size * steps_per_dispatch).
+    pool_segment_size: int = 0
+    # shuffled passes over each resident segment before rotating; cuts the
+    # host's required render rate to device_rate / passes at the cost of
+    # segment-blocked data order with intra-segment repeats
+    pool_passes_per_segment: int = 1
     use_pallas_splat: bool = False
     # Pallas inference fusions (eval/test-mode forwards only; training keeps
     # the XLA paths, where the kernels' dense backward loses). BOTH default

@@ -128,6 +128,24 @@ class ClevrDialogDataset:
         n = len(self.scenes)
         return min(n, self.max_samples) if self.max_samples else n
 
+    def image_id_of(self, index: int) -> int:
+        return int(self.scenes[index].get("image_index", index))
+
+    def render_image(self, index: int):
+        """(image_id, image) for one index, independent of `render_images`
+        (RotatingDevicePool segment uploads). Raises if the scene has no
+        on-disk image — a pool cannot be built for such datasets."""
+        sg = self.scenes[index]
+        image_id = sg.get("image_index", index)
+        fname = sg.get("image_filename")
+        if fname:
+            path = os.path.join(self.image_dir, sg.get("split", self.mode),
+                                fname)
+            if os.path.exists(path):
+                return int(image_id), load_image(path, self.image_size)
+        raise ValueError(f"scene {index} has no on-disk image; cannot build "
+                         "a device image pool for this CLEVR dataset")
+
     def __getitem__(self, index: int) -> SceneGraphSample:
         rng = np.random.default_rng((1234, index))
         sg = self.scenes[index]

@@ -252,6 +252,18 @@ class CocoSceneGraphDataset:
             triplets.append([s, p2i[p], o])
         return triplets
 
+    def image_id_of(self, index: int) -> int:
+        return int(self.image_ids[index])
+
+    def render_image(self, index: int):
+        """(image_id, image) for one index, independent of `render_images` —
+        the RotatingDevicePool's segment-upload path (it renders images
+        itself while the loader runs graph-only)."""
+        image_id = self.image_ids[index]
+        fname, _, _ = self.image_meta[image_id]
+        return int(image_id), load_image_imagenet(
+            os.path.join(self.image_dir, fname), self.image_size)
+
     def __getitem__(self, index: int) -> SceneGraphSample:
         image_id = self.image_ids[index]
         rng = np.random.default_rng((self.seed, image_id))

@@ -136,3 +136,242 @@ class DeviceImagePool:
         `host_image_ids` must be the HOST copy of the batch's image_ids
         (avoids a device->host readback in the feed path)."""
         return dev_batch._replace(imgs=self.gather(host_image_ids))
+
+
+class RotatingDevicePool:
+    """Double-buffered device image pool for datasets that exceed HBM.
+
+    `DeviceImagePool` holds the whole train set resident; real datasets
+    (COCO train2017 is ~118k images, ~47 GB at 256^2 bf16) cannot fit a
+    single chip's HBM. This pool streams the dataset through HBM in
+    fixed-size *segments*: while the device trains on segment k, a
+    background thread renders segment k+1 on the host and uploads it into a
+    second buffer (the TPU-native analogue of the reference DataLoader's
+    worker+pin_memory overlap, `sg2im/data/coco.py:253-311`). Per cycle the
+    whole dataset is re-permuted and re-cut, so shuffling is global across
+    cycles and windowed (window = segment) within one.
+
+    `passes_per_segment` (P) trains P shuffled passes over each resident
+    segment before rotating, cutting the host's required render rate to
+    device_rate / P — the knob that spans pure streaming (P=1) to the flat
+    pool (P=inf). Data order becomes segment-blocked with intra-segment
+    repeats (the standard sharded-shuffle tradeoff).
+
+    Integration: hand `sampler` to `BucketedLoader.index_sampler` (it emits
+    the segment-blocked index order and schedules the uploads) and use
+    `attach` in the trainer feed exactly like the flat pool's. A dispatch
+    block whose batches straddle a segment boundary is served from both
+    buffers (two gathers + select), so no alignment between segment,
+    batch, and dispatch-block sizes is required beyond
+    ``segment emission >= one dispatch block``.
+    """
+
+    def __init__(self, dataset, mesh, *, segment_size: int, batch_size: int,
+                 passes_per_segment: int = 1, block_batches: int = 1,
+                 dtype: str | np.dtype = "float32", seed: int = 0,
+                 disable_rendering: bool = True, progress: bool = False):
+        import queue as queue_mod
+        import threading
+
+        n = len(dataset)
+        if segment_size <= 0 or segment_size > n:
+            raise ValueError(f"segment_size {segment_size} not in [1, {n}]")
+        emission = segment_size * max(1, passes_per_segment)
+        if emission < batch_size * max(1, block_batches):
+            raise ValueError(
+                f"segment emission {emission} smaller than one dispatch "
+                f"block ({batch_size}x{block_batches}); raise segment_size "
+                "or passes_per_segment")
+        self.dataset = dataset
+        self.mesh = mesh
+        self.segment_size = int(segment_size)
+        self.batch_size = int(batch_size)
+        self.passes = max(1, int(passes_per_segment))
+        self.block = max(1, int(block_batches))
+        self._store_dtype = jnp.dtype(dtype)
+        self._repl = NamedSharding(mesh, P())
+        self._rng = np.random.default_rng(seed)
+        self.progress = progress
+        self._gather_cache = {}
+        self._cur = None            # (row_of_id dict, device buffer)
+        self._plan_q = queue_mod.Queue()
+        self._buf_q = queue_mod.Queue(maxsize=1)
+        self._stop = threading.Event()
+        self._err = [None]
+        self._uploader = threading.Thread(target=self._upload_loop,
+                                          daemon=True)
+        self._uploader.start()
+        if disable_rendering:
+            _disable_rendering(dataset)
+
+    # ---- segment planning (runs on the loader's epoch boundary) ----
+
+    def sampler(self, loader_rng) -> np.ndarray:
+        """Index order for one loader epoch: a fresh global permutation cut
+        into equal segments (the last segment tops up from the permutation
+        head so every buffer — and the jitted gather — keeps one shape),
+        each segment emitted as `passes` shuffled passes trimmed to whole
+        dispatch blocks. Also enqueues the cycle's upload plan."""
+        n = len(self.dataset)
+        order = self._rng.permutation(n)
+        S = self.segment_size
+        segments = []
+        for start in range(0, n, S):
+            seg = order[start:start + S]
+            if seg.size < S:  # top up to constant buffer shape
+                seg = np.concatenate([seg, order[:S - seg.size]])
+            segments.append(seg)
+        emission = []
+        granule = self.batch_size * self.block
+        for seg in segments:
+            reps = [self._rng.permutation(seg) for _ in range(self.passes)]
+            em = np.concatenate(reps)
+            em = em[:em.size // granule * granule]
+            emission.append(em)
+        self._plan_q.put(segments)
+        return np.concatenate(emission)
+
+    # ---- background render + upload ----
+
+    def _build_segment(self, seg_indices: np.ndarray):
+        ds = self.dataset
+        row_of_id, imgs = {}, None
+        for j, i in enumerate(seg_indices):
+            image_id, img = ds.render_image(int(i))
+            if imgs is None:
+                imgs = np.empty((len(seg_indices),) + img.shape,
+                                self._store_dtype)
+            imgs[j] = img
+            row_of_id[int(image_id)] = j
+        buf = jax.device_put(imgs, self._repl)
+        buf.block_until_ready()
+        return row_of_id, buf
+
+    def _upload_loop(self):
+        import queue as queue_mod
+        try:
+            while not self._stop.is_set():
+                try:
+                    plan = self._plan_q.get(timeout=0.2)
+                except queue_mod.Empty:
+                    continue
+                for k, seg in enumerate(plan):
+                    if self._stop.is_set():
+                        return
+                    t0 = __import__("time").time()
+                    item = self._build_segment(seg)
+                    while not self._stop.is_set():
+                        try:
+                            self._buf_q.put(item, timeout=0.2)
+                            break
+                        except queue_mod.Full:
+                            continue
+                    if self.progress:
+                        dt = __import__("time").time() - t0
+                        print(f"RotatingDevicePool: segment {k} "
+                              f"({seg.size} imgs, "
+                              f"{item[1].nbytes / 1e6:.0f} MB) ready in "
+                              f"{dt:.1f}s ({seg.size / max(dt, 1e-9):.1f} "
+                              "imgs/s host)", flush=True)
+                    if not self._plan_q.empty():
+                        # the trainer abandoned this cycle mid-epoch (e.g.
+                        # num_iterations hit) and a new cycle is queued:
+                        # stop rendering segments nobody will consume
+                        break
+        except BaseException as e:  # surface in attach()
+            self._err[0] = e
+
+    def _advance(self):
+        import queue as queue_mod
+        while True:
+            if self._err[0] is not None:
+                raise RuntimeError("RotatingDevicePool uploader died") \
+                    from self._err[0]
+            try:
+                item = self._buf_q.get(timeout=1.0)
+                break
+            except queue_mod.Empty:
+                continue
+        prev, self._cur = self._cur, item
+        return prev
+
+    # ---- device gather ----
+
+    def _gather_fn(self, lead_axes: int, combined: bool):
+        key = (lead_axes, combined)
+        fn = self._gather_cache.get(key)
+        if fn is None:
+            out_s = NamedSharding(
+                self.mesh, P(*([None] * (lead_axes - 1) + ["data"])))
+            if combined:
+                def gather(pool_a, pool_b, rows_a, rows_b, use_b):
+                    a = pool_a[rows_a].astype(jnp.float32)
+                    b = pool_b[rows_b].astype(jnp.float32)
+                    return jnp.where(use_b[..., None, None, None], b, a)
+            else:
+                def gather(pool, rows):
+                    return pool[rows].astype(jnp.float32)
+            fn = jax.jit(gather, out_shardings=out_s)
+            self._gather_cache[key] = fn
+        return fn
+
+    def attach(self, dev_batch, host_image_ids: np.ndarray):
+        """Fill `imgs` on a device-resident Batch from the resident segment,
+        rotating (double-buffer swap) as the id stream crosses a segment
+        boundary. `host_image_ids` must be the HOST copy.
+
+        Steady state: every id is in the resident segment (one gather) or
+        split across it and the next (two gathers + select). If neither
+        holds — only possible after an abandoned cycle left stale buffers —
+        the block's images are host-rendered directly (same shapes as the
+        normal path, so no new compile); the stream self-heals on the next
+        rotation."""
+        ids = np.asarray(host_image_ids)
+        if self._cur is None:
+            self._advance()  # blocks on the first segment's upload
+        row_of_id, buf = self._cur
+        flat = ids.ravel()
+        in_cur = np.array([int(i) in row_of_id for i in flat]
+                          ).reshape(ids.shape)
+        if in_cur.all():
+            rows = np.vectorize(row_of_id.__getitem__,
+                                otypes=[np.int32])(ids)
+            imgs = self._gather_fn(ids.ndim, False)(buf, rows)
+            return dev_batch._replace(imgs=imgs)
+        # boundary block: old buffer for the head, next segment for the tail
+        self._advance()
+        next_rows, next_buf = self._cur
+        if all(int(i) in next_rows for k, i in enumerate(flat)
+               if not in_cur.ravel()[k]):
+            rows_a = np.zeros(ids.shape, np.int32)
+            rows_b = np.zeros(ids.shape, np.int32)
+            flat_a, flat_b = rows_a.ravel(), rows_b.ravel()
+            for k, i in enumerate(flat):
+                if in_cur.ravel()[k]:
+                    flat_a[k] = row_of_id[int(i)]
+                else:
+                    flat_b[k] = next_rows[int(i)]
+            imgs = self._gather_fn(ids.ndim, True)(
+                buf, next_buf, rows_a, rows_b, ~in_cur)
+            return dev_batch._replace(imgs=imgs)
+        # stale-buffer fallback: render this block on the host
+        id_to_index = getattr(self, "_id_to_index", None)
+        if id_to_index is None:
+            id_to_index = {self.dataset.image_id_of(idx): idx
+                           for idx in range(len(self.dataset))}
+            self._id_to_index = id_to_index
+        rendered = np.stack([
+            self.dataset.render_image(id_to_index[int(i)])[1] for i in flat
+        ]).reshape(ids.shape + self._cur[1].shape[1:]).astype(np.float32)
+        out_s = NamedSharding(
+            self.mesh, P(*([None] * (ids.ndim - 1) + ["data"])))
+        return dev_batch._replace(imgs=jax.device_put(rendered, out_s))
+
+    def nbytes(self) -> int:
+        """Resident bytes: up to two segment buffers."""
+        per = (self.segment_size * int(np.prod(self._cur[1].shape[1:]))
+               * self._store_dtype.itemsize) if self._cur else 0
+        return 2 * per
+
+    def close(self):
+        self._stop.set()

@@ -161,6 +161,9 @@ class BucketedLoader:
         self._pool = None
         self._lock = threading.Lock()
         self._pending_weights: Optional[np.ndarray] = None
+        # Optional epoch-order override: callable(rng) -> index array.
+        # RotatingDevicePool installs its segment-blocked sampler here.
+        self.index_sampler = None
 
     def set_converse_weights(self, weights: np.ndarray) -> None:
         with self._lock:
@@ -174,7 +177,11 @@ class BucketedLoader:
 
     def _epoch_batches(self) -> Iterator[Batch]:
         n = len(self.dataset)
-        order = self.rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.index_sampler is not None:
+            order = np.asarray(self.index_sampler(self.rng))
+            n = order.size
+        else:
+            order = self.rng.permutation(n) if self.shuffle else np.arange(n)
         padding_pred = self.dataset.vocab["pred_name_to_idx"]["__padding__"]
         for start in range(0, n, self.batch_size):
             idx = order[start:start + self.batch_size]

@@ -111,6 +111,18 @@ class SyntheticClevrDataset:
             img[ya:yb, xa:xb] = colors[i]
         return img
 
+    def image_id_of(self, index: int) -> int:
+        return index
+
+    def render_image(self, index: int):
+        """(image_id, image) for one index, independent of `render_images`
+        (RotatingDevicePool segment uploads). Replays the same per-index rng
+        stream as __getitem__, so the image is bit-identical to a
+        loader-rendered one."""
+        rng = np.random.default_rng((self.seed, index))
+        attrs, boxes = self._scene(rng)
+        return index, self._render(attrs, boxes)
+
     def __getitem__(self, index: int) -> SceneGraphSample:
         rng = np.random.default_rng((self.seed, index))
         attrs, boxes = self._scene(rng)

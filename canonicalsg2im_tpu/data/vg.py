@@ -86,6 +86,19 @@ class VGSceneGraphDataset:
         n = len(self.index_map)
         return min(n, self.max_samples) if self.max_samples else n
 
+    def image_id_of(self, idx: int) -> int:
+        path = self.image_paths[int(self.index_map[idx])]
+        return int(os.path.basename(path).split(".")[0])
+
+    def render_image(self, idx: int):
+        """(image_id, image) for one index, independent of `render_images`
+        (RotatingDevicePool segment uploads)."""
+        index = int(self.index_map[idx])
+        path = self.image_paths[index]
+        image_id = int(os.path.basename(path).split(".")[0])
+        return image_id, load_image(os.path.join(self.image_dir, path),
+                                    self.image_size)
+
     def __getitem__(self, idx: int) -> SceneGraphSample:
         index = int(self.index_map[idx])
         rng = np.random.default_rng((self.seed, index))

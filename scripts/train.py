@@ -257,7 +257,23 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
         return out, img, vb
 
     attach = None
-    if cfg.device_image_pool:
+    if cfg.device_image_pool and cfg.pool_segment_size > 0:
+        from canonicalsg2im_tpu.data.device_cache import RotatingDevicePool
+
+        pool = RotatingDevicePool(
+            train_loader.dataset, mesh,
+            segment_size=cfg.pool_segment_size,
+            batch_size=cfg.batch_size,
+            passes_per_segment=cfg.pool_passes_per_segment,
+            block_batches=max(1, cfg.steps_per_dispatch),
+            dtype=cfg.device_pool_dtype, seed=cfg.seed, progress=True)
+        train_loader.index_sampler = pool.sampler
+        print(f"RotatingDevicePool: {len(train_loader.dataset)} train images "
+              f"in segments of {cfg.pool_segment_size} "
+              f"(x{cfg.pool_passes_per_segment} passes, "
+              f"{cfg.device_pool_dtype}); loader rendering disabled")
+        attach = pool.attach
+    elif cfg.device_image_pool:
         from canonicalsg2im_tpu.data.device_cache import DeviceImagePool
 
         pool = DeviceImagePool(train_loader.dataset, mesh,
