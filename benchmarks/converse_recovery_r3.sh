@@ -10,7 +10,7 @@
 # These arms raise the true-anchor ratio legitimately (more nesting, fewer
 # horizontal chain edges per scene) and vary the seed; layout-only stage,
 # ~6 min/arm on the v5e.
-set -u
+set -u -o pipefail  # ADVICE r3: a crashed/timed-out arm must not read as ok
 cd /root/repo
 COMMON="--dataset packed_clevr_syn --skip_generation 1 --batch_size 64
   --image_size 64,64 --num_train_samples 2048 --num_val_samples 128
@@ -21,6 +21,8 @@ run() {
   echo "=== arm $name: $* $(date -u +%H:%M:%S)"
   timeout 1500 python -m scripts.train $COMMON "$@" \
     --output_dir "out/conv_rec_$name" 2>&1 | grep -v "^t = " | tail -40
+  rc=${PIPESTATUS[0]}
+  [ "$rc" -ne 0 ] && echo "=== arm $name FAILED rc=$rc"
 }
 run a --syn_nested_fraction 1.0 --max_objects 6 --seed 0
 run b --syn_nested_fraction 0.5 --max_objects 10 --seed 0
