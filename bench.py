@@ -217,12 +217,43 @@ def main():
 
     n_chips = len(jax.devices())
     imgs_per_sec = steps * batch / dt / max(n_chips, 1)
-    print(json.dumps({
+
+    # MFU from XLA's own cost model (same accounting as
+    # scripts/flops_gan_step.py / docs/PERF.md): model TFLOP per step over
+    # measured step time, against the chip's bf16 peak (197 TFLOP/s on
+    # v5e). This is the absolute utilization claim; vs_baseline divides by
+    # an ESTIMATED reference GPU rate. The .lower().compile() here re-keys
+    # to the HLO already in the persistent compile cache, so it adds
+    # deserialization time only.
+    mfu_pct = None
+    try:
+        peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
+        if K == 1:
+            lowered = gan_train_step.lower(
+                states, dev_batches[0], rng, vgg_params, sc=sc)
+            k_flops = 1
+        else:
+            lowered = gan_train_multi_step.lower(
+                states, dev_batches[0], jax.random.split(rng, K),
+                vgg_params, sc=sc)
+            k_flops = K
+        flops_step = (lowered.compile().cost_analysis().get("flops", 0.0)
+                      / k_flops)
+        step_time = dt / (n_blocks * K)
+        mfu_pct = round(flops_step / step_time / (peak_tflops * 1e12)
+                        * 100.0, 1)
+    except Exception:
+        pass
+
+    out = {
         "metric": "attspade_%d_train_images_per_sec_per_chip" % size,
         "value": round(imgs_per_sec, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / BASELINE_IMAGES_PER_SEC, 3),
-    }))
+    }
+    if mfu_pct is not None:
+        out["mfu_pct"] = mfu_pct
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
