@@ -60,7 +60,12 @@ def _draw_scene(rng, size, boxes, cat_ids):
     return img
 
 
-def _sample_objects(rng, size, n):
+def _sample_objects(rng, size, n, nested_fraction=0.0):
+    """Uniform boxes; with probability ``nested_fraction`` the scene also gets
+    one strictly-nested pair (small box fully inside a larger one), so the
+    dataset-side __inside__/__surrounding__ triplets (data/coco.py:219-225,
+    mirroring reference sg2im/data/base_dataset.py:46-49) occur at a
+    controlled rate rather than only by chance overlap."""
     boxes, cats = [], []
     for _ in range(n):
         w = float(rng.uniform(0.12, 0.35) * size)
@@ -69,6 +74,14 @@ def _sample_objects(rng, size, n):
         y = float(rng.uniform(0, size - h))
         boxes.append((x, y, w, h))
         cats.append(int(THING_CATEGORIES[rng.integers(len(THING_CATEGORIES))][0]))
+    if nested_fraction and rng.random() < nested_fraction and n >= 2:
+        # Replace the last box with one strictly inside the first.
+        ox, oy, ow, oh = boxes[0]
+        iw = float(rng.uniform(0.3, 0.6) * ow)
+        ih = float(rng.uniform(0.3, 0.6) * oh)
+        ix = float(ox + rng.uniform(0.05, 0.95 - iw / ow) * ow)
+        iy = float(oy + rng.uniform(0.05, 0.95 - ih / oh) * oh)
+        boxes[-1] = (ix, iy, iw, ih)
     return boxes, cats
 
 
@@ -77,7 +90,8 @@ def _rect_poly(x, y, w, h):
             float(x + w), float(y + h), float(x), float(y + h)]
 
 
-def make_coco(root: str, n_train: int, n_val: int, size: int, seed: int):
+def make_coco(root: str, n_train: int, n_val: int, size: int, seed: int,
+              nested_fraction: float = 0.0):
     rng = np.random.default_rng(seed)
     base = os.path.join(root, "MSCoco")
     ann_dir = os.path.join(base, "annotations")
@@ -91,7 +105,7 @@ def make_coco(root: str, n_train: int, n_val: int, size: int, seed: int):
             iid = (1 if split == "train2017" else 10_000_000) + i
             fname = f"{iid:012d}.jpg"
             n_obj = int(rng.integers(4, 9))
-            boxes, cats = _sample_objects(rng, size, n_obj)
+            boxes, cats = _sample_objects(rng, size, n_obj, nested_fraction)
             _draw_scene(rng, size, boxes, cats).save(
                 os.path.join(img_dir, fname), quality=92)
             images.append({"id": iid, "file_name": fname,
@@ -194,10 +208,13 @@ def main(argv=None):
     ap.add_argument("--vg_images", type=int, default=512)
     ap.add_argument("--image_size", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--nested_fraction", type=float, default=0.0,
+                    help="per-scene probability of one strictly-nested box "
+                         "pair (drives __inside__/__surrounding__ triplets)")
     args = ap.parse_args(argv)
     if args.coco_train:
         make_coco(args.root, args.coco_train, args.coco_val, args.image_size,
-                  args.seed)
+                  args.seed, args.nested_fraction)
     if args.vg_images:
         make_vg(args.root, args.vg_images, args.image_size, args.seed)
 
