@@ -11,6 +11,18 @@ from canonicalsg2im_tpu.config import Config
 
 
 def get_dataset(name: str, partition: str, cfg: Config):
+    ds = _build_dataset(name, partition, cfg)
+    # The SG->Layout-only stage (--skip_generation) never reads images.
+    # Rendering anyway costs ~1 s/step host time at 256²/batch 64 AND ships
+    # a ~50 MB image block per step to the device — on the tunneled TPU
+    # backend those uploads are retained host-side, which grew the round-4
+    # conv_rec arm to 130 GB anon RSS and drew the OOM killer. Applied here
+    # uniformly because every dataset class defaults render_images=True.
+    ds.render_images = not cfg.skip_generation
+    return ds
+
+
+def _build_dataset(name: str, partition: str, cfg: Config):
     common = dict(
         include_dummies=cfg.include_dummies,
         learned_converse=cfg.learned_converse,
@@ -30,9 +42,6 @@ def get_dataset(name: str, partition: str, cfg: Config):
             seed=cfg.seed,
             mode=partition,
             nested_fraction=cfg.syn_nested_fraction,
-            # the SG->Layout-only stage never reads images; skip the host-side
-            # synthetic render (it dominates step time at 256^2)
-            render_images=not cfg.skip_generation,
             **common,
         )
     if name in ("packed_clevr", "clevr"):
