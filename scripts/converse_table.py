@@ -31,13 +31,18 @@ TRUE_CONVERSE = {
 }
 
 
-def _find(tree, key):
-    """Depth-first search for a leaf named ``key`` in a nested state dict."""
+def _find(tree, key, in_params=False):
+    """Leaf named ``key`` under a ``params`` subtree. The same leaf name
+    exists inside ``opt_state`` (Adam mu/nu) — reading those instead of the
+    parameter produces a silently-wrong near-uniform table, which is how the
+    first cut of this script misread conv_rec_coco_r4/itr_2000."""
     if isinstance(tree, dict):
-        if key in tree and not isinstance(tree[key], dict):
+        if in_params and key in tree and not isinstance(tree[key], dict):
             return tree[key]
-        for v in tree.values():
-            hit = _find(v, key)
+        for k, v in tree.items():
+            if k == "opt_state":
+                continue
+            hit = _find(v, key, in_params or k == "params")
             if hit is not None:
                 return hit
     return None

@@ -18,10 +18,18 @@ def _vocab():
 
 def _write_ckpt(tmp_path, conv):
     path = str(tmp_path / "itr_10.ckpt")
-    state = {"g": {"params": {"sg_to_layout": {
-        "converse_candidates_weights": np.asarray(conv, np.float32),
-        "trans_candidates_weights": np.zeros((len(PREDS),), np.float32),
-    }}}}
+    P = len(PREDS)
+    state = {"g": {
+        # decoy FIRST in iteration order: Adam moments carry the same leaf
+        # names — the reader must skip opt_state or it produces a silently
+        # near-uniform table (the bug this guards against)
+        "opt_state": {"0": {"mu": {"sg_to_layout": {
+            "converse_candidates_weights": np.zeros((P, P), np.float32),
+            "trans_candidates_weights": np.zeros((P,), np.float32)}}}},
+        "params": {"sg_to_layout": {
+            "converse_candidates_weights": np.asarray(conv, np.float32),
+            "trans_candidates_weights": np.zeros((P,), np.float32),
+        }}}}
     with open(path, "wb") as f:
         f.write(flax.serialization.msgpack_serialize(
             {"state": state, "counters": {"t": 10, "epoch": 1}}))
