@@ -50,6 +50,11 @@ class Config:
     # COCO val2017 -> val/test split: 'reference' uses the reference's
     # hard-coded val-id list (packed_coco.py:12-90); 'hash' is id-parity
     coco_val_split: str = "reference"
+    # comma-separated category whitelists (reference coco.py:137-140;
+    # dataset_params.py:72-73 pins them to None = all). "" = exclude the
+    # whole class — used by the converse basin-boundary ablations.
+    instance_whitelist: Optional[str] = None
+    stuff_whitelist: Optional[str] = None
     debug: bool = False
 
     # VG-specific

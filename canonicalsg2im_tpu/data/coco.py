@@ -119,10 +119,13 @@ class CocoSceneGraphDataset:
             idx_to_name[cat["id"]] = cat["name"]
             self.vocab["object_name_to_idx"][cat["name"]] = cat["id"]
 
-        whitelist = set(instance_whitelist
-                        or [c["name"] for c in instances["categories"]])
-        whitelist |= set(stuff_whitelist
-                         or [c["name"] for c in stuff["categories"]])
+        # `is None` (not `or`): an explicit [] means "exclude this class of
+        # objects entirely" — e.g. stuff_whitelist=[] drops stuff-derived
+        # containment triplets for the converse basin-boundary ablations
+        whitelist = set(instance_whitelist if instance_whitelist is not None
+                        else [c["name"] for c in instances["categories"]])
+        whitelist |= set(stuff_whitelist if stuff_whitelist is not None
+                         else [c["name"] for c in stuff["categories"]])
 
         self.image_id_to_objects = defaultdict(list)
         ids_with_stuff = set()

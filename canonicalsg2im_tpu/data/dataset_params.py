@@ -22,6 +22,13 @@ def get_dataset(name: str, partition: str, cfg: Config):
     return ds
 
 
+def _whitelist(spec):
+    """None -> all categories; "" -> none; "a,b" -> those categories."""
+    if spec is None:
+        return None
+    return [s for s in str(spec).split(",") if s]
+
+
 def _build_dataset(name: str, partition: str, cfg: Config):
     common = dict(
         include_dummies=cfg.include_dummies,
@@ -70,6 +77,8 @@ def _build_dataset(name: str, partition: str, cfg: Config):
             max_objects=cfg.max_objects or (1000 if packed else 8),
             min_object_size=cfg.min_object_size,
             val_split=cfg.coco_val_split,
+            instance_whitelist=_whitelist(cfg.instance_whitelist),
+            stuff_whitelist=_whitelist(cfg.stuff_whitelist),
             **common,
         )
     if name in ("vg", "packed_vg"):
