@@ -75,13 +75,49 @@ def _sample_objects(rng, size, n, nested_fraction=0.0):
         boxes.append((x, y, w, h))
         cats.append(int(THING_CATEGORIES[rng.integers(len(THING_CATEGORIES))][0]))
     if nested_fraction and rng.random() < nested_fraction and n >= 2:
-        # Replace the last box with one strictly inside the first.
-        ox, oy, ow, oh = boxes[0]
-        iw = float(rng.uniform(0.3, 0.6) * ow)
-        ih = float(rng.uniform(0.3, 0.6) * oh)
-        ix = float(ox + rng.uniform(0.05, 0.95 - iw / ow) * ow)
-        iy = float(oy + rng.uniform(0.05, 0.95 - ih / oh) * oh)
+        # Replace the last box with one strictly inside the first —
+        # CENTER-DOMINANTLY: the reference's containment test computes "x1"
+        # as x0 + w/2 (the center; sg2im/data/base_dataset.py:47-48 and
+        # coco.py:382-383), so only nestings whose inner center stays on the
+        # outer-center side of both axes register as __inside__/
+        # __surrounding__. Uniform placement passes that test only ~6% of
+        # the time; constraining the offset makes every generated nesting
+        # detectable.
+        # outer resized up and the inner kept ≥55% of it so the inner box
+        # clears the loader's min_object_size (2% image area) filter
+        ow = float(rng.uniform(0.3, 0.45) * size)
+        oh = float(rng.uniform(0.3, 0.45) * size)
+        ox = float(rng.uniform(0, size - ow))
+        oy = float(rng.uniform(0, size - oh))
+        boxes[0] = (ox, oy, ow, oh)
+        iw = float(rng.uniform(0.55, 0.7) * ow)
+        ih = float(rng.uniform(0.55, 0.7) * oh)
+        ix = float(ox + rng.uniform(0.05, 0.9 * (1 - iw / ow) / 2) * ow)
+        iy = float(oy + rng.uniform(0.05, 0.9 * (1 - ih / oh) / 2) * oh)
         boxes[-1] = (ix, iy, iw, ih)
+    return boxes, cats
+
+
+def _sample_nested_chain(rng, size, n):
+    """All n objects strictly nested (A ⊃ B ⊃ C ...), so __inside__/
+    __surrounding__ dominate the scene's true triplets — the basin-boundary
+    arm testing whether the converse REINFORCE recovers the nesting rows
+    once their TRUE usage outweighs their sampled-converse usage."""
+    boxes, cats = [], []
+    w = float(rng.uniform(0.7, 0.9) * size)
+    h = float(rng.uniform(0.7, 0.9) * size)
+    x = float(rng.uniform(0, size - w))
+    y = float(rng.uniform(0, size - h))
+    for _ in range(n):
+        boxes.append((x, y, w, h))
+        cats.append(int(THING_CATEGORIES[rng.integers(len(THING_CATEGORIES))][0]))
+        nw = float(rng.uniform(0.45, 0.65) * w)
+        nh = float(rng.uniform(0.45, 0.65) * h)
+        # center-dominant placement so the reference's center-as-x1
+        # containment test (see _sample_objects) detects every level
+        x = float(x + rng.uniform(0.05, 0.9 * (1 - nw / w) / 2) * w)
+        y = float(y + rng.uniform(0.05, 0.9 * (1 - nh / h) / 2) * h)
+        w, h = nw, nh
     return boxes, cats
 
 
@@ -91,7 +127,7 @@ def _rect_poly(x, y, w, h):
 
 
 def make_coco(root: str, n_train: int, n_val: int, size: int, seed: int,
-              nested_fraction: float = 0.0):
+              nested_fraction: float = 0.0, nested_chain: float = 0.0):
     rng = np.random.default_rng(seed)
     base = os.path.join(root, "MSCoco")
     ann_dir = os.path.join(base, "annotations")
@@ -104,8 +140,14 @@ def make_coco(root: str, n_train: int, n_val: int, size: int, seed: int,
         for i in range(n):
             iid = (1 if split == "train2017" else 10_000_000) + i
             fname = f"{iid:012d}.jpg"
-            n_obj = int(rng.integers(4, 9))
-            boxes, cats = _sample_objects(rng, size, n_obj, nested_fraction)
+            if nested_chain and rng.random() < nested_chain:
+                # 4 concentric boxes; deeper levels fall under the loader's
+                # min_object_size (2% area) filter
+                n_obj = 4
+                boxes, cats = _sample_nested_chain(rng, size, n_obj)
+            else:
+                n_obj = int(rng.integers(4, 9))
+                boxes, cats = _sample_objects(rng, size, n_obj, nested_fraction)
             _draw_scene(rng, size, boxes, cats).save(
                 os.path.join(img_dir, fname), quality=92)
             images.append({"id": iid, "file_name": fname,
@@ -211,10 +253,14 @@ def main(argv=None):
     ap.add_argument("--nested_fraction", type=float, default=0.0,
                     help="per-scene probability of one strictly-nested box "
                          "pair (drives __inside__/__surrounding__ triplets)")
+    ap.add_argument("--nested_chain", type=float, default=0.0,
+                    help="fraction of scenes that are a 4-deep concentric "
+                         "nesting chain (pushes true nesting-triplet usage "
+                         "toward parity with the spatial relations)")
     args = ap.parse_args(argv)
     if args.coco_train:
         make_coco(args.root, args.coco_train, args.coco_val, args.image_size,
-                  args.seed, args.nested_fraction)
+                  args.seed, args.nested_fraction, args.nested_chain)
     if args.vg_images:
         make_vg(args.root, args.vg_images, args.image_size, args.seed)
 
