@@ -134,12 +134,15 @@ def main():
         bench_layout()
         return
     size = int(os.environ.get("BENCH_IMAGE_SIZE", 256))
-    # batch 16 (the reference README's training scale) is the per-chip peak
-    # on the 15.75G v5e now that the bench feeds from device-resident
-    # batches: 63.4/59.2/63.6 imgs/s vs batch 8's 59.7/60.4 (the earlier
-    # "batch 8 wins" ranking was a host-feeding artifact); batch 32 spills
-    # (34.6). Scale the global batch via data parallelism (parallel/mesh.py).
-    batch = int(os.environ.get("BENCH_BATCH", 16))
+    # Round-4 batch ladder on the 15.75G v5e (device-resident batches,
+    # docs/logs/bench_b{16,24,32}_r4.log): batch 16 = 80.5 imgs/s (54.0%
+    # MFU), batch 24 = 83.9 (56.3% MFU), batch 32 = compile-time HBM OOM
+    # (needs 15.78G of 15.75G). 24 is the per-chip peak: the reference
+    # README trains batch 16 at 256² (its V100-16G ceiling); per-chip
+    # throughput at each chip's best-fitting batch is the honest comparison,
+    # and vs_baseline keeps the reference's batch-16 V100 estimate as
+    # denominator. Scale global batch via data parallelism (parallel/mesh.py).
+    batch = int(os.environ.get("BENCH_BATCH", 24))
     steps = int(os.environ.get("BENCH_STEPS", 10))
     warmup = int(os.environ.get("BENCH_WARMUP", 2))
 
