@@ -268,3 +268,29 @@ def test_reference_val_id_list_integrity():
     assert len(ids) == 1024 and len(set(ids)) == 1024
     # spot-check the reference's first/last entries (packed_coco.py:12,90)
     assert ids[0] == 252219 and ids[-1] == 123585
+
+
+def test_coco_stuff_whitelist_empty_excludes_stuff(coco_fixture):
+    """Explicit [] whitelist excludes the class (dataset_params passes ""
+    through as []); None keeps everything. Scenes themselves survive the
+    ids_with_stuff filter either way."""
+    img_dir, inst, stuff = coco_fixture
+    kw = dict(packed=True, partition="train", image_size=(32, 32),
+              min_objects=1, max_objects=100, min_object_size=0.0)
+    ds_all = CocoSceneGraphDataset(img_dir, inst, stuff, **kw)
+    ds_nostuff = CocoSceneGraphDataset(img_dir, inst, stuff,
+                                       stuff_whitelist=[], **kw)
+    assert len(ds_nostuff) == len(ds_all) > 0
+    grass = ds_all.vocab["object_name_to_idx"]["grass"]
+    import numpy as np
+    assert any(grass in np.asarray(ds_all[i].objs)[:, 0]
+               for i in range(len(ds_all)))
+    assert not any(grass in np.asarray(ds_nostuff[i].objs)[:, 0]
+                   for i in range(len(ds_nostuff)))
+
+
+def test_whitelist_spec_parsing():
+    from canonicalsg2im_tpu.data.dataset_params import _whitelist
+    assert _whitelist(None) is None
+    assert _whitelist("") == []
+    assert _whitelist("person,dog") == ["person", "dog"]
