@@ -80,9 +80,9 @@ def _sample_objects(rng, size, n, nested_fraction=0.0):
         # as x0 + w/2 (the center; sg2im/data/base_dataset.py:47-48 and
         # coco.py:382-383), so only nestings whose inner center stays on the
         # outer-center side of both axes register as __inside__/
-        # __surrounding__. Uniform placement passes that test only ~6% of
-        # the time; constraining the offset makes every generated nesting
-        # detectable.
+        # __surrounding__. Uniform placement passes that test only 25% of
+        # the time (per-axis exactly 1/2, independent axes); constraining
+        # the offset makes every generated nesting detectable.
         # outer resized up and the inner kept ≥55% of it so the inner box
         # clears the loader's min_object_size (2% image area) filter
         ow = float(rng.uniform(0.3, 0.45) * size)
