@@ -139,6 +139,11 @@ class Config:
     learned_symmetry: bool = False
     learned_converse: bool = False
     learned_init: str = "uniform"  # uniform | 0 | -4 | 4
+    # BEYOND-REFERENCE intervention (default 0 = exact reference semantics):
+    # ε-exploration in the dataset-side converse sampler against REINFORCE
+    # basin lock-in (graphs/converse.py::sample_converse_triplets; the
+    # multistability evidence is docs/RESULTS.md "converse bistability").
+    converse_epsilon: float = 0.0
     dense_scenes: bool = False
     isTrain: bool = True
 

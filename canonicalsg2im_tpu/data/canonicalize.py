@@ -225,6 +225,7 @@ def augment_triplets(
     learned_symmetry: bool = False,
     converse_weights: Optional[np.ndarray] = None,
     rng: np.random.Generator | None = None,
+    converse_epsilon: float = 0.0,
 ):
     """The reference's `add_learnt_triplets` (base_dataset.py:89-139).
 
@@ -232,6 +233,11 @@ def augment_triplets(
     edges from the learned weights (tallying ``conv_counts`` for REINFORCE),
     then optionally tag every missing closure edge as TRANSITIVE. Meta-relation
     triplets ride through untouched.
+
+    ``converse_epsilon`` > 0 enables the beyond-reference ε-exploration in
+    the converse sampler (see graphs/converse.py::sample_converse_triplets)
+    and forces the Python sampling path — the C++ fast path implements the
+    reference semantics only.
 
     Returns (triplets (T,3) int64, conv_counts (P, P+1) float32, triplet_type (T,)).
     """
@@ -248,7 +254,7 @@ def augment_triplets(
     if learned_converse:
         assert converse_weights is not None, "learned_converse needs weights"
 
-    lib = _native_lib()
+    lib = _native_lib() if converse_epsilon <= 0.0 else None
     if lib is not None:
         res = _native_augment(
             lib, triplets, P, sorted(non_meta), sorted(meta),
@@ -269,7 +275,7 @@ def augment_triplets(
             assert converse_weights is not None, "learned_converse needs weights"
             converse, conv_counts = sample_converse_triplets(
                 rel_triplets, sorted(non_meta - {rel}), converse_weights,
-                conv_counts, rng=rng)
+                conv_counts, rng=rng, epsilon=converse_epsilon)
             new_triplets.extend([list(map(int, t)) for t in converse])
 
     # symmetric-edge augmentation (PackedSynCLEVR add_learnt_triplets,

@@ -86,6 +86,7 @@ class ClevrDialogDataset:
                  min_objects: int = 0, max_objects: int = 1000,
                  include_dummies: bool = False, learned_converse: bool = False,
                  learned_transitivity: bool = False, learned_symmetry: bool = False,
+                 converse_epsilon: float = 0.0,
                  dense_scenes: bool = False,
                  max_samples=None):
         self.vocab = build_clevr_vocab()
@@ -96,6 +97,7 @@ class ClevrDialogDataset:
         self.learned_converse = learned_converse
         self.learned_transitivity = learned_transitivity
         self.learned_symmetry = learned_symmetry
+        self.converse_epsilon = converse_epsilon
         self.max_samples = max_samples
         self.mode = mode
         self.packed = packed
@@ -194,6 +196,7 @@ class ClevrDialogDataset:
             triplets, self.vocab, learned_converse=self.learned_converse,
             learned_transitivity=self.learned_transitivity,
             learned_symmetry=self.learned_symmetry,
+            converse_epsilon=self.converse_epsilon,
             converse_weights=self.converse_candidates_weights, rng=rng)
 
         return SceneGraphSample(

@@ -82,6 +82,7 @@ class CocoSceneGraphDataset:
                  instance_whitelist=None, stuff_whitelist=None,
                  include_dummies: bool = False, learned_converse: bool = False,
                  learned_transitivity: bool = False, learned_symmetry: bool = False,
+                 converse_epsilon: float = 0.0,
                  use_converse: bool = False,
                  include_relationships: bool = True, max_samples=None,
                  canonical_sampling: bool = False, seed: int = 0,
@@ -95,6 +96,7 @@ class CocoSceneGraphDataset:
         self.learned_converse = learned_converse
         self.learned_transitivity = learned_transitivity
         self.learned_symmetry = learned_symmetry
+        self.converse_epsilon = converse_epsilon
         self.use_converse = use_converse
         self.include_relationships = include_relationships
         self.max_samples = max_samples
@@ -314,6 +316,7 @@ class CocoSceneGraphDataset:
             triplets, self.vocab, learned_converse=self.learned_converse,
             learned_transitivity=self.learned_transitivity,
             learned_symmetry=self.learned_symmetry,
+            converse_epsilon=self.converse_epsilon,
             converse_weights=self.converse_candidates_weights, rng=rng)
 
         return SceneGraphSample(

@@ -35,6 +35,7 @@ def _build_dataset(name: str, partition: str, cfg: Config):
         learned_converse=cfg.learned_converse,
         learned_transitivity=cfg.learned_transitivity,
         learned_symmetry=cfg.learned_symmetry,
+        converse_epsilon=cfg.converse_epsilon,
         image_size=cfg.image_size,
         mask_size=cfg.mask_size,
     )

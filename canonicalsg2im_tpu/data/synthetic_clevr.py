@@ -39,6 +39,7 @@ class SyntheticClevrDataset:
                  max_objects: int = 10, image_size=(64, 64), mask_size: int = 0,
                  include_dummies: bool = False, learned_converse: bool = False,
                  learned_transitivity: bool = False, learned_symmetry: bool = False,
+                 converse_epsilon: float = 0.0,
                  render_images: bool = True, nested_fraction: float = 0.25,
                  seed: int = 0, mode: str = "train"):
         self.vocab = build_clevr_vocab()
@@ -51,6 +52,7 @@ class SyntheticClevrDataset:
         self.learned_converse = learned_converse
         self.learned_transitivity = learned_transitivity
         self.learned_symmetry = learned_symmetry
+        self.converse_epsilon = converse_epsilon
         self.render_images = render_images
         self.nested_fraction = nested_fraction
         self.seed = seed + (0 if mode == "train" else 1_000_003)
@@ -144,6 +146,7 @@ class SyntheticClevrDataset:
             learned_converse=self.learned_converse,
             learned_transitivity=self.learned_transitivity,
             learned_symmetry=self.learned_symmetry,
+            converse_epsilon=self.converse_epsilon,
             converse_weights=self.converse_candidates_weights,
             rng=rng,
         )

@@ -35,6 +35,7 @@ class VGSceneGraphDataset:
                  include_relationships: bool = True,
                  include_dummies: bool = False, learned_converse: bool = False,
                  learned_transitivity: bool = False, learned_symmetry: bool = False,
+                 converse_epsilon: float = 0.0,
                  max_samples=None,
                  seed: int = 0):
         import h5py
@@ -50,6 +51,7 @@ class VGSceneGraphDataset:
         self.learned_converse = learned_converse
         self.learned_transitivity = learned_transitivity
         self.learned_symmetry = learned_symmetry
+        self.converse_epsilon = converse_epsilon
         self.max_samples = max_samples
         self.seed = seed
 
@@ -161,6 +163,7 @@ class VGSceneGraphDataset:
             triplets, self.vocab, learned_converse=self.learned_converse,
             learned_transitivity=self.learned_transitivity,
             learned_symmetry=self.learned_symmetry,
+            converse_epsilon=self.converse_epsilon,
             converse_weights=self.converse_candidates_weights, rng=rng)
 
         return SceneGraphSample(

@@ -76,6 +76,7 @@ def sample_converse_triplets(
     converse_weights: np.ndarray,
     conv_counts: np.ndarray,
     rng: np.random.Generator | None = None,
+    epsilon: float = 0.0,
 ):
     """Sample one converse edge (or no edge) for every triplet of one relation.
 
@@ -85,6 +86,16 @@ def sample_converse_triplets(
       converse_weights: (P, P) learned weights (symmetrized, host copy).
       conv_counts: (P, P+1) tally matrix, mutated in place and returned.
       rng: NumPy generator.
+      epsilon: BEYOND-REFERENCE intervention (off by default = reference
+        semantics): with probability epsilon a draw comes from the uniform
+        distribution over the options instead of the learned softmax —
+        ε-exploration against REINFORCE basin lock-in (the r3b/r4 flagships
+        and the reference's own torch implementation all hardened
+        self-consistent wrong equilibria whose basins are selected by early
+        sampling noise; see docs/RESULTS.md). The REINFORCE surrogate
+        (``converse_log_likelihood``) is left as-is, making the update
+        slightly off-policy — by design: exploration draws still produce
+        gradient signal toward whatever the reward favors.
 
     Returns:
       (converse_triplets list, conv_counts). Each sampled converse edge is the
@@ -103,6 +114,9 @@ def sample_converse_triplets(
     logits -= logits.max()
     probs = np.exp(logits)
     probs /= probs.sum()
+    if epsilon > 0.0:
+        probs = (1.0 - epsilon) * probs + epsilon / len(options)
+        probs /= probs.sum()
 
     draws = rng.choice(options, size=len(triplets), p=probs)
     drawn, counts = np.unique(draws, return_counts=True)

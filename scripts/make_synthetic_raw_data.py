@@ -60,6 +60,48 @@ def _draw_scene(rng, size, boxes, cat_ids):
     return img
 
 
+def _apply_photometric(rng, img, strength):
+    """Photometric hardening (round-5 image-D fix).
+
+    The legacy scenes are piecewise-constant color + JPEG ringing — trivially
+    separable from any generator output, so the hinge image D saturates to
+    zero loss and stops teaching the generator anything (observed from step
+    ~2000 of the r4 data-scale flagship; reference hinge D:
+    /root/reference/spade/models/networks/loss.py:36-44 never gets such a
+    free win on photographs). This raises the entropy of the *real*
+    distribution with content a conv generator can actually model:
+
+    - multi-scale smooth color fields (low/mid-frequency texture — learnable,
+      unlike iid pixel noise, which would hand the D a new shortcut),
+    - global brightness/contrast jitter per image,
+    - mild pixel noise + randomized JPEG quality, so "JPEG-artifact level"
+      becomes a continuum instead of a binary real/fake feature.
+
+    Returns (image, jpeg_quality). strength<=0 returns the input untouched.
+    Callers pass a photometric-only rng stream so the scene-geometry stream
+    is untouched — the same seed yields identical annotations with the
+    hardening on or off.
+    """
+    from PIL import Image
+
+    if strength <= 0:
+        return img, 92
+    arr = np.asarray(img, dtype=np.float32)
+    for grid, amp in ((6, 16.0), (24, 8.0)):
+        field = rng.normal(size=(grid, grid, 3)).astype(np.float32)
+        up = np.stack(
+            [np.asarray(Image.fromarray(field[:, :, c], mode="F")
+                        .resize(img.size, Image.BILINEAR))
+             for c in range(3)], axis=-1)
+        arr += strength * amp * up
+    contrast = 1.0 + strength * rng.uniform(-0.12, 0.12)
+    brightness = strength * rng.uniform(-12.0, 12.0)
+    arr = (arr - 127.5) * contrast + 127.5 + brightness
+    arr += rng.normal(0.0, 2.5 * strength, size=arr.shape).astype(np.float32)
+    quality = int(rng.integers(80, 96))
+    return Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8)), quality
+
+
 def _sample_objects(rng, size, n, nested_fraction=0.0):
     """Uniform boxes; with probability ``nested_fraction`` the scene also gets
     one strictly-nested pair (small box fully inside a larger one), so the
@@ -127,8 +169,10 @@ def _rect_poly(x, y, w, h):
 
 
 def make_coco(root: str, n_train: int, n_val: int, size: int, seed: int,
-              nested_fraction: float = 0.0, nested_chain: float = 0.0):
+              nested_fraction: float = 0.0, nested_chain: float = 0.0,
+              photometric: float = 0.0):
     rng = np.random.default_rng(seed)
+    photo_rng = np.random.default_rng(seed + 77_777)
     base = os.path.join(root, "MSCoco")
     ann_dir = os.path.join(base, "annotations")
     os.makedirs(ann_dir, exist_ok=True)
@@ -148,8 +192,9 @@ def make_coco(root: str, n_train: int, n_val: int, size: int, seed: int,
             else:
                 n_obj = int(rng.integers(4, 9))
                 boxes, cats = _sample_objects(rng, size, n_obj, nested_fraction)
-            _draw_scene(rng, size, boxes, cats).save(
-                os.path.join(img_dir, fname), quality=92)
+            img, quality = _apply_photometric(
+                photo_rng, _draw_scene(rng, size, boxes, cats), photometric)
+            img.save(os.path.join(img_dir, fname), quality=quality)
             images.append({"id": iid, "file_name": fname,
                            "width": size, "height": size})
             for (x, y, w, h), cid in zip(boxes, cats):
@@ -199,8 +244,10 @@ def _spatial_predicate(rng, a, b):
     return choices[rng.integers(len(choices))] if choices else "left of"
 
 
-def make_vg(root: str, n_images: int, size: int, seed: int):
+def make_vg(root: str, n_images: int, size: int, seed: int,
+            photometric: float = 0.0):
     rng = np.random.default_rng(seed + 1)
+    photo_rng = np.random.default_rng(seed + 77_778)
     base = os.path.join(root, "vg")
     img_dir = os.path.join(base, "images", "VG_100K")
     os.makedirs(img_dir, exist_ok=True)
@@ -211,8 +258,9 @@ def make_vg(root: str, n_images: int, size: int, seed: int):
         fname = f"{iid}.jpg"
         n_obj = int(rng.integers(4, 9))
         boxes, cats = _sample_objects(rng, size, n_obj)
-        _draw_scene(rng, size, boxes, cats).save(
-            os.path.join(img_dir, fname), quality=92)
+        img, quality = _apply_photometric(
+            photo_rng, _draw_scene(rng, size, boxes, cats), photometric)
+        img.save(os.path.join(img_dir, fname), quality=quality)
         images.append({"image_id": iid, "width": size, "height": size,
                        "url": f"https://synthetic/VG_100K/{fname}"})
         names = {cid: name for cid, name, _ in THING_CATEGORIES}
@@ -257,12 +305,20 @@ def main(argv=None):
                     help="fraction of scenes that are a 4-deep concentric "
                          "nesting chain (pushes true nesting-triplet usage "
                          "toward parity with the spatial relations)")
+    ap.add_argument("--photometric", type=float, default=0.0,
+                    help="strength of photometric hardening (smooth texture "
+                         "fields, brightness/contrast jitter, mild noise, "
+                         "randomized JPEG quality) so real images are not "
+                         "trivially separable from generator output; 0 = "
+                         "legacy flat-color scenes")
     args = ap.parse_args(argv)
     if args.coco_train:
         make_coco(args.root, args.coco_train, args.coco_val, args.image_size,
-                  args.seed, args.nested_fraction, args.nested_chain)
+                  args.seed, args.nested_fraction, args.nested_chain,
+                  args.photometric)
     if args.vg_images:
-        make_vg(args.root, args.vg_images, args.image_size, args.seed)
+        make_vg(args.root, args.vg_images, args.image_size, args.seed,
+                args.photometric)
 
 
 if __name__ == "__main__":

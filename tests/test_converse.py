@@ -109,3 +109,38 @@ def test_sampling_no_edge_option():
     converse, counts = sample_converse_triplets(triplets, [3], cw, counts, rng=rng)
     assert converse == []
     assert counts[2, P] == 1
+
+
+def test_epsilon_exploration_breaks_saturation():
+    """The ε-exploration intervention must keep non-argmax options sampled
+    even when the learned softmax has saturated (the basin-lock-in failure
+    mode), and ε=0 must reproduce the reference sampler exactly."""
+    P = 8
+    cw = np.zeros((P, P))
+    cw[2, 5] = 50.0  # saturated: softmax puts ~everything on candidate 5
+    cw[5, 2] = 50.0
+    T = 4000
+    triplets = np.stack([np.arange(T) % 7, np.full(T, 2),
+                         (np.arange(T) + 1) % 7], axis=1)
+
+    counts0 = np.zeros((P, P + 1))
+    _, counts0 = sample_converse_triplets(
+        triplets, [3, 4, 5, 6, 7], cw, counts0,
+        rng=np.random.default_rng(0), epsilon=0.0)
+    assert counts0[2, 5] == T  # reference behavior: argmax-only forever
+
+    # ε=0 must match the default-path draws bit-for-bit at the same seed
+    counts_ref = np.zeros((P, P + 1))
+    _, counts_ref = sample_converse_triplets(
+        triplets, [3, 4, 5, 6, 7], cw, counts_ref,
+        rng=np.random.default_rng(0))
+    np.testing.assert_array_equal(counts0, counts_ref)
+
+    counts_eps = np.zeros((P, P + 1))
+    _, counts_eps = sample_converse_triplets(
+        triplets, [3, 4, 5, 6, 7], cw, counts_eps,
+        rng=np.random.default_rng(0), epsilon=0.3)
+    assert counts_eps.sum() == T
+    # 0.3 * 5/6 of the mass goes to the five non-argmax options uniformly
+    off_argmax = counts_eps[2].sum() - counts_eps[2, 5]
+    assert abs(off_argmax / T - 0.25) < 0.03, counts_eps[2]

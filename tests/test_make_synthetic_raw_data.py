@@ -59,3 +59,57 @@ def test_coco_and_vg_pipelines_load_generated_data(tmp_path):
     s = vg[0]
     assert s.image.shape == (32, 32, 3)
     assert np.isfinite(s.boxes[s.boxes != -1]).all()
+
+
+def _highfreq_energy(arr):
+    """Mean |Laplacian| — high-frequency content of an RGB uint8 array."""
+    a = arr.astype(np.float64).mean(axis=-1)
+    lap = (-4 * a[1:-1, 1:-1] + a[:-2, 1:-1] + a[2:, 1:-1]
+           + a[1:-1, :-2] + a[1:-1, 2:])
+    return np.abs(lap).mean()
+
+
+def test_photometric_hardening_textures_images(tmp_path):
+    """--photometric > 0 must (a) keep annotations/geometry identical to the
+    flat generator at the same seed, (b) add real texture (the image-D fix:
+    flat-color scenes are trivially separable from generator output),
+    (c) stay deterministic per seed."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from scripts.make_synthetic_raw_data import make_coco
+
+    flat, hard, hard2 = (str(tmp_path / d) for d in ("flat", "hard", "hard2"))
+    make_coco(flat, n_train=6, n_val=0, size=64, seed=3)
+    make_coco(hard, n_train=6, n_val=0, size=64, seed=3, photometric=1.0)
+    make_coco(hard2, n_train=6, n_val=0, size=64, seed=3, photometric=1.0)
+
+    ann = "MSCoco/annotations/instances_train2017.json"
+    with open(os.path.join(flat, ann)) as f:
+        flat_ann = json.load(f)
+    with open(os.path.join(hard, ann)) as f:
+        hard_ann = json.load(f)
+    # same seed -> identical geometry/annotations (photometric uses its own
+    # rng stream, leaving the scene-geometry stream untouched)
+    assert flat_ann["annotations"] == hard_ann["annotations"]
+
+    img_rel = "MSCoco/images/train2017"
+    names = sorted(os.listdir(os.path.join(flat, img_rel)))
+    e_flat, e_hard, pix_delta = [], [], []
+    for n in names:
+        a = np.asarray(Image.open(os.path.join(flat, img_rel, n)))
+        b = np.asarray(Image.open(os.path.join(hard, img_rel, n)))
+        c = np.asarray(Image.open(os.path.join(hard2, img_rel, n)))
+        assert a.shape == b.shape == (64, 64, 3)
+        np.testing.assert_array_equal(b, c)  # deterministic per seed
+        e_flat.append(_highfreq_energy(a))
+        e_hard.append(_highfreq_energy(b))
+        pix_delta.append(np.abs(a.astype(float) - b.astype(float)).mean())
+    # hardened images differ materially from flat ones (texture fields +
+    # jitter actually landed) and carry more high-frequency energy on
+    # average (per-image margins are noisy at 64 px where JPEG ringing of
+    # the flat scenes dominates the Laplacian)
+    assert min(pix_delta) > 4.0, pix_delta
+    assert np.mean(e_hard) > np.mean(e_flat) + 0.5, (e_flat, e_hard)
