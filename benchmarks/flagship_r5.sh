@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-5 data-scale flagship (VERDICT r4 task 1): rerun the 10k-step
+# 256^2/batch-16 streaming WSGC GAN on the PHOTOMETRIC-HARDENED 16,384-image
+# set (datasets/synth16k_p, --photometric 1.0). The r4 run's image D
+# saturated to zero hinge loss from step ~2000 because flat-color scenes are
+# trivially separable from generator output; the hardened real distribution
+# (smooth texture fields, brightness/contrast jitter, noise, randomized JPEG
+# quality) removes that free win, matching the non-degenerate regime the
+# reference's hinge D sees on photographs
+# (/root/reference/spade/models/networks/loss.py:36-44).
+# Gates: D_img_real/fake in a nonzero band for the whole run, no dither in
+# val/10000 panels, val IoU >= 0.54.
+#
+# Usage: flagship_r5.sh [resume_ckpt]
+set -u
+cd /root/repo
+OUT=out/wsgc_gan_256_r5
+RESUME=${1:-}
+EXTRA=()
+if [ -n "$RESUME" ]; then
+  EXTRA+=(--restore_checkpoint 1 --checkpoint_name "$RESUME")
+fi
+exec python -m scripts.train \
+  --dataset packed_coco --dataroot datasets/synth16k_p --coco_val_split hash \
+  --num_iterations 10000 \
+  --batch_size 16 --image_size 256,256 \
+  --num_train_samples 16384 --num_val_samples 64 \
+  --min_objects 3 \
+  --learned_converse 1 --learned_transitivity 1 \
+  --print_every 100 --checkpoint_every 1000 \
+  --steps_per_dispatch 10 --host_prefetch_blocks 1 \
+  --device_image_pool 1 --device_pool_dtype bfloat16 \
+  --pool_segment_size 2048 --pool_passes_per_segment 2 \
+  --continue_on_error 1 \
+  --output_dir "$OUT" "${EXTRA[@]}" >> "$OUT.log" 2>&1
