@@ -31,5 +31,6 @@ exec python -m scripts.train \
   --steps_per_dispatch 10 --host_prefetch_blocks 1 \
   --device_image_pool 1 --device_pool_dtype bfloat16 \
   --pool_segment_size 2048 --pool_passes_per_segment 2 \
+  --proxy_metrics 1 --proxy_weights weights/proxy_features.npz \
   --continue_on_error 1 \
   --output_dir "$OUT" "${EXTRA[@]}" >> "$OUT.log" 2>&1

@@ -250,6 +250,13 @@ class Config:
     # the default is off; the options remain for larger-memory configs
     remat_loss: str = "none"
     weights_dir: str = "weights"  # converted VGG19 / InceptionV3 arrays
+    # opt-in proxy-feature FID/IS at val time (evaluation/proxy.py) — the
+    # in-image stand-in for the reference's pretrained FID/IS instrument
+    # (evaluation/fid/fid_score.py:232). RELATIVE metric, not
+    # literature-comparable; train the net first:
+    #   python -m canonicalsg2im_tpu.evaluation.proxy train
+    proxy_metrics: bool = False
+    proxy_weights: str = "weights/proxy_features.npz"
 
     # populated at runtime, not via CLI
     vocab: Optional[dict] = None

@@ -229,12 +229,33 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
 
         inception = InceptionScore(cfg.weights_dir)
 
+    # Opt-in proxy-feature FID/IS (evaluation/proxy.py): the in-image
+    # stand-in for the reference's pretrained instrument
+    # (evaluation/fid/fid_score.py:232-250). RELATIVE metric — ranks
+    # checkpoints / detects texture regressions on the synthetic
+    # distribution; NOT literature-comparable.
+    proxy = proxy_real_stats = None
+    if cfg.proxy_metrics and not cfg.skip_generation:
+        from canonicalsg2im_tpu.evaluation.proxy import ProxyActivations
+
+        proxy = ProxyActivations(cfg.proxy_weights)
+        print(f"proxy metrics on ({cfg.proxy_weights}) — relative, "
+              "not literature-comparable")
+
     def run_val(use_gt, eval_rng, max_samples):
+        nonlocal proxy_real_stats
         sums = {"iou_sum": 0.0, "iou05_sum": 0.0,
                 "iou03_sum": 0.0, "count": 0.0}
         seen, img, vb = 0, None, None
         if inception is not None:
             inception.clean()
+        if proxy is not None:
+            proxy.clean()
+        real_acc = None
+        if proxy is not None and proxy_real_stats is None:
+            from canonicalsg2im_tpu.evaluation.proxy import ProxyActivations
+
+            real_acc = ProxyActivations(cfg.proxy_weights)
         for vb in val_loader:
             vb = shard_batch(vb, mesh)
             img, *_rest, vmetrics = gan_eval_step(
@@ -244,9 +265,15 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
                     sums[k] += float(vmetrics[k])
             if inception is not None and img is not None:
                 inception(np.asarray(jax.device_get(img)))
+            if proxy is not None and img is not None:
+                proxy(np.asarray(jax.device_get(img)))
+                if real_acc is not None and vb.imgs is not None:
+                    real_acc(np.asarray(jax.device_get(vb.imgs)))
             seen += vb.objs.shape[0]
             if max_samples and seen >= max_samples:
                 break
+        if real_acc is not None and real_acc.acts:
+            proxy_real_stats = real_acc.statistics()
         n = max(sums["count"], 1.0)
         out = {"avg_iou": sums["iou_sum"] / n,
                "total_iou_05": sums["iou05_sum"] / n,
@@ -254,6 +281,16 @@ def train_gan(cfg: Config, train_loader, val_loader, mesh, logger):
         if inception is not None:
             mean, std = inception.compute_score(splits=5)
             out["inception_mean"], out["inception_std"] = mean, std
+        if proxy is not None and proxy.acts:
+            from canonicalsg2im_tpu.evaluation.fid import (
+                calculate_frechet_distance)
+
+            pm, ps = proxy.inception_score(splits=5)
+            out["proxy_is_mean"], out["proxy_is_std"] = pm, ps
+            if proxy_real_stats is not None:
+                mu_f, sig_f = proxy.statistics()
+                out["proxy_fid"] = float(calculate_frechet_distance(
+                    proxy_real_stats[0], proxy_real_stats[1], mu_f, sig_f))
         return out, img, vb
 
     attach = None
