@@ -144,6 +144,14 @@ class Config:
     # basin lock-in (graphs/converse.py::sample_converse_triplets; the
     # multistability evidence is docs/RESULTS.md "converse bistability").
     converse_epsilon: float = 0.0
+    # BEYOND-REFERENCE intervention (default 0 = exact reference semantics):
+    # annealed Gaussian instance noise on the image-D inputs (real AND
+    # fake), linear decay to 0 over d_noise_anneal steps. Keeps the hinge
+    # margin populated on synthetic distributions where the D otherwise
+    # separates real/fake perfectly by ~step 300 and saturates to zero loss
+    # (r4/r5 flagships; train/gan.py::_make_d_noise).
+    d_instance_noise: float = 0.0
+    d_noise_anneal: int = 8000
     dense_scenes: bool = False
     isTrain: bool = True
 

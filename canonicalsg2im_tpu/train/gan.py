@@ -84,6 +84,17 @@ class StepCfg(NamedTuple):
     # Config.batch_fake_real: off (measured neutral-to-negative at the bench
     # shapes, see docs/PERF.md).
     batch_fake_real: bool = False
+    # BEYOND-REFERENCE (off by default, reference semantics when 0):
+    # annealed Gaussian instance noise on the image-D's inputs (both real
+    # and fake — Sonderby et al. 2017's GAN stabilizer). On synthetic
+    # distributions the hinge D separates real from fake perfectly within
+    # ~300 steps and saturates to zero loss (r4/r5 flagships, vs the
+    # non-degenerate photo regime of the reference's
+    # spade/models/networks/loss.py:36-44); overlapping the supports keeps
+    # the margin populated so the adversarial signal stays live. Noise
+    # sigma anneals linearly to 0 over d_noise_anneal steps.
+    d_instance_noise: float = 0.0
+    d_noise_anneal: int = 8000
     # Rematerialize loss-side network forwards instead of saving their
     # activations for backward: "none" | "vgg" | "all". The fused step runs
     # at the HBM ceiling (temp 13.7G of 15.75G at 256^2 batch 16; the VGG
@@ -122,6 +133,8 @@ def step_cfg_from_config(cfg: Config) -> StepCfg:
         compute_dtype=cfg.compute_dtype,
         norm_D=cfg.norm_D,
         batch_fake_real=cfg.batch_fake_real,
+        d_instance_noise=cfg.d_instance_noise,
+        d_noise_anneal=cfg.d_noise_anneal,
     )
 
 
@@ -311,6 +324,7 @@ def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
     ckpt = jax.checkpoint if sc.remat_loss == "all" else (lambda f: f)
     ckpt_vgg = (jax.checkpoint if sc.remat_loss in ("vgg", "all")
                 else (lambda f: f))
+    dnoise = _make_d_noise(sc, states, rng)
 
     if not sc.skip_generation:
         d_boxes = batch.boxes
@@ -336,17 +350,18 @@ def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
             return out
 
         if batch_fr and not sc.no_ganFeat_loss:
-            both = ckpt(_score_img)(
+            both = ckpt(_score_img)(dnoise(
                 jnp.concatenate([img_pred,
-                                 jax.lax.stop_gradient(batch.imgs)], axis=0))
+                                 jax.lax.stop_gradient(batch.imgs)], axis=0),
+                "both"))
             pred_fake = [[t[:B] for t in feats] for feats in both]
             pred_real = [[t[B:] for t in feats] for feats in both]
         else:
-            pred_fake = ckpt(_score_img)(img_pred)
+            pred_fake = ckpt(_score_img)(dnoise(img_pred, "fake"))
             # no gradient flows through the real-image features (they are
             # stop-gradded below), so no checkpoint is needed here
             pred_real = (None if sc.no_ganFeat_loss
-                         else _score_img(batch.imgs))
+                         else _score_img(dnoise(batch.imgs, "real")))
         gan_img = criterion(pred_fake, True, for_discriminator=False)
         losses["GAN_Img"] = gan_img * sc.w_d_img
         total = total + losses["GAN_Img"]
@@ -430,8 +445,32 @@ def generator_losses(sc: StepCfg, states: GanStates, g_params, batch, rng,
     return total, (losses, outputs, new_gstats)
 
 
+def _make_d_noise(sc: StepCfg, states: GanStates, rng):
+    """Annealed instance-noise injector for image-D inputs (see
+    StepCfg.d_instance_noise). Returns identity when the knob is off.
+
+    Keys are derived from (rng, tag) so the generator-loss and
+    discriminator-loss sides noise the SAME sample sets identically —
+    preserving both the one-noisy-view semantics and the XLA CSE between
+    the duplicated D forwards of the fused step."""
+    if sc.d_instance_noise <= 0:
+        return lambda img, tag: img
+    frac = jnp.clip(
+        1.0 - jnp.asarray(states.g.step, jnp.float32) / sc.d_noise_anneal,
+        0.0, 1.0)
+    sigma = sc.d_instance_noise * frac
+    tags = {"both": 1, "fake": 2, "real": 3}
+
+    def dnoise(img, tag):
+        key = jax.random.fold_in(rng, tags[tag])
+        n = jax.random.normal(key, img.shape, jnp.float32)
+        return img + (sigma * n).astype(img.dtype)
+
+    return dnoise
+
+
 def discriminator_losses(sc: StepCfg, states: GanStates, d_params, batch,
-                         outputs, seg_img=None):
+                         outputs, seg_img=None, noise_rng=None):
     """compute_discriminator_loss (pix2pix_model.py:145-202).
 
     ``seg_img`` is the live-parameter image-D seg (see :func:`seg_for_d_img`);
@@ -456,6 +495,7 @@ def discriminator_losses(sc: StepCfg, states: GanStates, d_params, batch,
     B = batch.imgs.shape[0]
     batch_fr = (sc.batch_fake_real and seg_img is not None
                 and "batch" not in sc.norm_D)
+    dnoise = _make_d_noise(sc, states, noise_rng)
 
     def _d_img(params, img):
         n_rep = img.shape[0] // B
@@ -467,12 +507,15 @@ def discriminator_losses(sc: StepCfg, states: GanStates, d_params, batch,
 
     if batch_fr:
         both, new_stats["img"] = ckpt(_d_img)(
-            d_params["img"], jnp.concatenate([img_pred, batch.imgs], axis=0))
+            d_params["img"],
+            dnoise(jnp.concatenate([img_pred, batch.imgs], axis=0), "both"))
         pred_fake = [[t[:B] for t in feats] for feats in both]
         gt_real = [[t[B:] for t in feats] for feats in both]
     else:
-        pred_fake, _ = ckpt(_d_img)(d_params["img"], img_pred)
-        gt_real, new_stats["img"] = ckpt(_d_img)(d_params["img"], batch.imgs)
+        pred_fake, _ = ckpt(_d_img)(d_params["img"],
+                                    dnoise(img_pred, "fake"))
+        gt_real, new_stats["img"] = ckpt(_d_img)(d_params["img"],
+                                                 dnoise(batch.imgs, "real"))
     losses["D_img_fake"] = criterion(pred_fake, False, for_discriminator=True)
     losses["D_img_real"] = criterion(gt_real, True, for_discriminator=True)
     total = losses["D_img_fake"] + losses["D_img_real"]
@@ -559,7 +602,7 @@ def _gan_train_body(states: GanStates, batch, rng, vgg_params, sc: StepCfg):
             d_total, (d_losses, d_stats) = discriminator_losses(
                 sc, states, {k: v for k, v in d_params.items()
                              if v is not None}, batch, outputs,
-                seg_img=seg_img)
+                seg_img=seg_img, noise_rng=g_rng)
             metrics.update(d_losses)
             total = total + d_total
         return total, (metrics, new_gstats, d_stats)

@@ -288,3 +288,39 @@ def test_gan_multichip_equivalence():
                         jax.tree.leaves(ref_states.g.batch_stats)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, err_msg=name)
+
+
+def test_d_instance_noise_perturbs_then_anneals_to_reference():
+    """BEYOND-REFERENCE --d_instance_noise: with sigma > 0 the image-D losses
+    move off the clean-step values (the hinge margin is re-populated); once
+    the step counter passes d_noise_anneal, sigma hits 0 and the step is
+    IDENTICAL to the reference-semantics (noise-off) step."""
+    cfg, loader, vgg_params = _setup(compute_dtype="float32")
+    sc_off = step_cfg_from_config(cfg)
+    sc_on = sc_off._replace(d_instance_noise=0.2, d_noise_anneal=100)
+    batch = next(iter(loader))
+    rng = jax.random.PRNGKey(1)
+
+    fresh = lambda: create_gan_states(cfg, jax.random.PRNGKey(0))
+    _, m_off, _ = gan_train_step(fresh(), batch, rng, vgg_params, sc=sc_off)
+    _, m_on, _ = gan_train_step(fresh(), batch, rng, vgg_params, sc=sc_on)
+    # noise lands on the image-D path only
+    assert not np.isclose(float(m_on["D_img_real"]),
+                          float(m_off["D_img_real"]))
+    assert not np.isclose(float(m_on["GAN_Img"]), float(m_off["GAN_Img"]))
+    for k in ("D_obj", "bbox_pred", "loss_conv"):
+        np.testing.assert_allclose(float(m_on[k]), float(m_off[k]),
+                                   rtol=1e-6, err_msg=k)
+
+    # past the anneal horizon sigma == 0: bit-identical to reference
+    late = lambda: (lambda s: s.replace(g=s.g.replace(step=100)))(fresh())
+    _, m_late_on, _ = gan_train_step(late(), batch, rng, vgg_params,
+                                     sc=sc_on)
+    _, m_late_off, _ = gan_train_step(late(), batch, rng, vgg_params,
+                                      sc=sc_off)
+    # sigma == 0 adds an exact +0.0 to the D inputs; the extra op shifts
+    # XLA fusion/reassociation by ~1 ulp, so "identical" means float-tight
+    for k in m_late_off:
+        np.testing.assert_allclose(np.asarray(m_late_on[k]),
+                                   np.asarray(m_late_off[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
