@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-5 flagship, arm B: same photometric-hardened data and config as
+# flagship_r5.sh, plus the BEYOND-REFERENCE annealed instance noise on the
+# image-D inputs (--d_instance_noise). Arm A (out/wsgc_gan_256_r5) proved
+# data hardening alone does not keep the hinge D in-band: D_img_real/fake
+# saturate to exactly 0.0 by step ~300 (r4 pattern), leaving the generated
+# panels with ~13x the real images' high-frequency energy (dither) that the
+# dead D never penalizes. Instance noise overlaps the real/fake supports so
+# the margin stays populated (train/gan.py::_make_d_noise; sigma anneals
+# 0.15 -> 0 over 8000 steps).
+# Gates (VERDICT r4 task 1): D_img_real/fake in a nonzero band for the whole
+# run, no dither in val/10000 panels, val IoU >= 0.54.
+#
+# Usage: flagship_r5_noise.sh [resume_ckpt]
+set -u
+cd /root/repo
+OUT=out/wsgc_gan_256_r5n
+RESUME=${1:-}
+EXTRA=()
+if [ -n "$RESUME" ]; then
+  EXTRA+=(--restore_checkpoint 1 --checkpoint_name "$RESUME")
+fi
+exec python -m scripts.train \
+  --dataset packed_coco --dataroot datasets/synth16k_p --coco_val_split hash \
+  --num_iterations 10000 \
+  --batch_size 16 --image_size 256,256 \
+  --num_train_samples 16384 --num_val_samples 64 \
+  --min_objects 3 \
+  --learned_converse 1 --learned_transitivity 1 \
+  --print_every 100 --checkpoint_every 1000 \
+  --steps_per_dispatch 10 --host_prefetch_blocks 1 \
+  --device_image_pool 1 --device_pool_dtype bfloat16 \
+  --pool_segment_size 2048 --pool_passes_per_segment 2 \
+  --proxy_metrics 1 --proxy_weights weights/proxy_features.npz \
+  --d_instance_noise 0.15 --d_noise_anneal 8000 \
+  --continue_on_error 1 \
+  --output_dir "$OUT" "${EXTRA[@]}" >> "$OUT.log" 2>&1

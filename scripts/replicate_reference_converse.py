@@ -86,12 +86,13 @@ class SyntheticScenes(BaseDataset):
     add_learnt_triplets with live converse sampling)."""
 
     def __init__(self, vocab, *, min_objects, max_objects, nested_fraction,
-                 seed):
+                 seed, nested_chain=0.0):
         # deliberately no super().__init__ — BaseDataset.__init__ loads h5
         self.vocab = vocab
         self.min_objects = min_objects
         self.max_objects = max_objects
         self.nested_fraction = nested_fraction
+        self.nested_chain = nested_chain
         self.seed = seed
         self.include_dummies = True
         self.learned_converse = True
@@ -100,10 +101,40 @@ class SyntheticScenes(BaseDataset):
         self.converse_candidates_weights = np.zeros((P, P))
         self.attr_names = list(vocab["attributes"].keys())
 
+    def _chain_scene(self, rng):
+        """4-deep concentric nesting chain (the winning-mix ingredient from
+        the r4/r5 basin sweeps; mirrors scripts/make_synthetic_raw_data.py::
+        _sample_nested_chain in the harness's 0-1 coordinates). Center-
+        dominant placement so the reference's center-as-x1 containment test
+        (base_dataset.py:46-49) detects every level."""
+        n = 4
+        attrs = np.stack(
+            [rng.integers(1, len(self.vocab["attributes"][a]), size=n)
+             for a in self.attr_names], axis=1).astype(np.int64)
+        size_col = self.attr_names.index("size")
+        small = self.vocab["attributes"]["size"]["small"]
+        large = self.vocab["attributes"]["size"]["large"]
+        boxes = np.zeros((n, 4), np.float32)
+        w = float(rng.uniform(0.7, 0.9))
+        h = float(rng.uniform(0.7, 0.9))
+        x = float(rng.uniform(0, 1 - w))
+        y = float(rng.uniform(0, 1 - h))
+        for i in range(n):
+            boxes[i] = (x, y, w, h)
+            attrs[i, size_col] = large if i < 2 else small
+            nw = float(rng.uniform(0.45, 0.65) * w)
+            nh = float(rng.uniform(0.45, 0.65) * h)
+            x = float(x + rng.uniform(0.05, 0.9 * (1 - nw / w) / 2) * w)
+            y = float(y + rng.uniform(0.05, 0.9 * (1 - nh / h) / 2) * h)
+            w, h = nw, nh
+        return attrs, boxes
+
     def _scene(self, rng):
         # port of canonicalsg2im_tpu/data/synthetic_clevr.py::_scene — the
         # flagship's exact distribution (sizes 0.1/0.2, nested child box
         # placed by the reference containment convention base_dataset.py:46-49)
+        if self.nested_chain and rng.uniform() < self.nested_chain:
+            return self._chain_scene(rng)
         n = int(rng.integers(self.min_objects, self.max_objects + 1))
         attrs = np.stack(
             [rng.integers(1, len(self.vocab["attributes"][a]), size=n)
@@ -182,6 +213,10 @@ def main():
     ap.add_argument("--min_objects", type=int, default=3)
     ap.add_argument("--max_objects", type=int, default=10)
     ap.add_argument("--nested_fraction", type=float, default=0.25)
+    ap.add_argument("--nested_chain", type=float, default=0.0,
+                    help="fraction of scenes that are a 4-deep concentric "
+                         "nesting chain (the winning-mix ingredient from "
+                         "the basin sweeps)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--print_every", type=int, default=200)
     args = ap.parse_args()
@@ -191,6 +226,7 @@ def main():
     ds = SyntheticScenes(vocab, min_objects=args.min_objects,
                          max_objects=args.max_objects,
                          nested_fraction=args.nested_fraction,
+                         nested_chain=args.nested_chain,
                          seed=args.seed)
 
     # flagship model dims (scripts/args.py defaults; our run_args.json)
