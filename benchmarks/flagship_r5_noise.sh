@@ -7,7 +7,8 @@
 # panels with ~13x the real images' high-frequency energy (dither) that the
 # dead D never penalizes. Instance noise overlaps the real/fake supports so
 # the margin stays populated (train/gan.py::_make_d_noise; sigma anneals
-# 0.15 -> 0 over 8000 steps).
+# 0.5 -> 0 over 8000 steps; 0.15 measured too weak — D still pinned at
+# ~1e-4 by step 900, out/wsgc_gan_256_r5n_sigma015.log).
 # Gates (VERDICT r4 task 1): D_img_real/fake in a nonzero band for the whole
 # run, no dither in val/10000 panels, val IoU >= 0.54.
 #
@@ -32,6 +33,6 @@ exec python -m scripts.train \
   --device_image_pool 1 --device_pool_dtype bfloat16 \
   --pool_segment_size 2048 --pool_passes_per_segment 2 \
   --proxy_metrics 1 --proxy_weights weights/proxy_features.npz \
-  --d_instance_noise 0.15 --d_noise_anneal 8000 \
+  --d_instance_noise 0.5 --d_noise_anneal 8000 \
   --continue_on_error 1 \
   --output_dir "$OUT" "${EXTRA[@]}" >> "$OUT.log" 2>&1
