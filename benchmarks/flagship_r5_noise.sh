@@ -6,9 +6,14 @@
 # saturate to exactly 0.0 by step ~300 (r4 pattern), leaving the generated
 # panels with ~13x the real images' high-frequency energy (dither) that the
 # dead D never penalizes. Instance noise overlaps the real/fake supports so
-# the margin stays populated (train/gan.py::_make_d_noise; sigma anneals
-# 0.5 -> 0 over 8000 steps; 0.15 measured too weak — D still pinned at
-# ~1e-4 by step 900, out/wsgc_gan_256_r5n_sigma015.log).
+# the margin stays populated (train/gan.py::_make_d_noise). Sigma ladder
+# measured this round: 0.15 and 0.5 both leave D pinned at ~1e-4 within
+# 500-900 steps (out/wsgc_gan_256_r5n_sigma{015,05}.log) — per-pixel noise
+# is low-passed away by the D's strided scales while the generator's
+# 8-px-period glyph texture stays a giant coherent cue. This arm: sigma
+# 1.0 annealed over 12000 (so sigma ~0.17 at step 10k, never fully off
+# in-run) + the reference's own --img_learning_rate halved to 5e-5 (mild
+# TTUR toward G).
 # Gates (VERDICT r4 task 1): D_img_real/fake in a nonzero band for the whole
 # run, no dither in val/10000 panels, val IoU >= 0.54.
 #
@@ -33,6 +38,7 @@ exec python -m scripts.train \
   --device_image_pool 1 --device_pool_dtype bfloat16 \
   --pool_segment_size 2048 --pool_passes_per_segment 2 \
   --proxy_metrics 1 --proxy_weights weights/proxy_features.npz \
-  --d_instance_noise 0.5 --d_noise_anneal 8000 \
+  --d_instance_noise 1.0 --d_noise_anneal 12000 \
+  --img_learning_rate 5e-5 \
   --continue_on_error 1 \
   --output_dir "$OUT" "${EXTRA[@]}" >> "$OUT.log" 2>&1
