@@ -462,8 +462,22 @@ def _make_d_noise(sc: StepCfg, states: GanStates, rng):
     tags = {"both": 1, "fake": 2, "real": 3}
 
     def dnoise(img, tag):
+        # Multi-scale: iid pixel noise is low-passed away by the D's
+        # strided scales (effective sigma/sqrt(k) over k-pixel receptive
+        # fields — measured: sigma=1.0 pixel noise leaves the hinge D
+        # saturated at ~1e-4, out/wsgc_gan_256_r5n_sigma*.log), so half the
+        # power rides spatially-correlated components drawn at 1/8 and
+        # 1/32 resolution and bilinearly upsampled: those survive every
+        # receptive-field average and actually blur the low-frequency
+        # color/layout statistics the D separates on.
         key = jax.random.fold_in(rng, tags[tag])
-        n = jax.random.normal(key, img.shape, jnp.float32)
+        k1, k2, k3 = jax.random.split(key, 3)
+        B, H, W, C = img.shape
+        n = 0.5 * jax.random.normal(k1, img.shape, jnp.float32)
+        for k, r in ((k2, 8), (k3, 32)):
+            low = jax.random.normal(
+                k, (B, max(1, H // r), max(1, W // r), C), jnp.float32)
+            n = n + 0.5 * jax.image.resize(low, img.shape, "bilinear")
         return img + (sigma * n).astype(img.dtype)
 
     return dnoise
