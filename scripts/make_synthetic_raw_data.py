@@ -170,7 +170,7 @@ def _rect_poly(x, y, w, h):
 
 def make_coco(root: str, n_train: int, n_val: int, size: int, seed: int,
               nested_fraction: float = 0.0, nested_chain: float = 0.0,
-              photometric: float = 0.0):
+              photometric: float = 0.0, image_format: str = "jpg"):
     rng = np.random.default_rng(seed)
     photo_rng = np.random.default_rng(seed + 77_777)
     base = os.path.join(root, "MSCoco")
@@ -183,7 +183,7 @@ def make_coco(root: str, n_train: int, n_val: int, size: int, seed: int,
         ann_id = 1
         for i in range(n):
             iid = (1 if split == "train2017" else 10_000_000) + i
-            fname = f"{iid:012d}.jpg"
+            fname = f"{iid:012d}.{image_format}"
             if nested_chain and rng.random() < nested_chain:
                 # 4 concentric boxes; deeper levels fall under the loader's
                 # min_object_size (2% area) filter
@@ -194,7 +194,14 @@ def make_coco(root: str, n_train: int, n_val: int, size: int, seed: int,
                 boxes, cats = _sample_objects(rng, size, n_obj, nested_fraction)
             img, quality = _apply_photometric(
                 photo_rng, _draw_scene(rng, size, boxes, cats), photometric)
-            img.save(os.path.join(img_dir, fname), quality=quality)
+            if image_format == "png":
+                # lossless: removes the DCT ringing/blocking that gives the
+                # image D an un-imitable real-vs-generated cue (round-5 D
+                # saturation study, docs/RESULTS.md) — conv generators
+                # cannot produce JPEG artifacts
+                img.save(os.path.join(img_dir, fname))
+            else:
+                img.save(os.path.join(img_dir, fname), quality=quality)
             images.append({"id": iid, "file_name": fname,
                            "width": size, "height": size})
             for (x, y, w, h), cid in zip(boxes, cats):
@@ -305,6 +312,10 @@ def main(argv=None):
                     help="fraction of scenes that are a 4-deep concentric "
                          "nesting chain (pushes true nesting-triplet usage "
                          "toward parity with the spatial relations)")
+    ap.add_argument("--image_format", choices=("jpg", "png"), default="jpg",
+                    help="on-disk codec for the COCO images; png removes "
+                         "JPEG artifacts (an un-imitable real-image cue "
+                         "for the image D)")
     ap.add_argument("--photometric", type=float, default=0.0,
                     help="strength of photometric hardening (smooth texture "
                          "fields, brightness/contrast jitter, mild noise, "
@@ -315,7 +326,7 @@ def main(argv=None):
     if args.coco_train:
         make_coco(args.root, args.coco_train, args.coco_val, args.image_size,
                   args.seed, args.nested_fraction, args.nested_chain,
-                  args.photometric)
+                  args.photometric, args.image_format)
     if args.vg_images:
         make_vg(args.root, args.vg_images, args.image_size, args.seed,
                 args.photometric)
